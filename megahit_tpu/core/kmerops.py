@@ -1,0 +1,273 @@
+"""Device k-mer primitives: multi-word keys as (N, W) uint32 arrays.
+
+A k-mer key is ``W = ceil(k/16)`` uint32 words, 2-bit big-endian packed,
+left-aligned (trailing bits of the last word are zero). Lexicographic
+order over bases == lexicographic order over the word tuple, so sorts
+and binary searches over (N, W) arrays compare words most-significant
+first.
+
+Everything here is static-shape jnp code that works identically on TPU
+and CPU. These are the TPU-native replacements for the reference's
+Kmer<NWords,TWord> (src/sequence/kmer.h) and copy_substr.h: instead of
+per-item shift loops, whole-batch funnel-shift gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASES_PER_WORD = 16
+U32 = jnp.uint32
+
+
+def words_per_kmer(k: int) -> int:
+    return (k + BASES_PER_WORD - 1) // BASES_PER_WORD
+
+
+# ---------------------------------------------------------------------------
+# packing a flat code array on device
+# ---------------------------------------------------------------------------
+
+
+def pack_flat_codes(codes: jnp.ndarray) -> jnp.ndarray:
+    """uint8/int32 codes (B,) -> packed uint32 (ceil(B/16),), big-endian.
+
+    B must be a multiple of 16 (pad on host).
+    """
+    b = codes.shape[0]
+    assert b % BASES_PER_WORD == 0, "pad flat codes to a multiple of 16"
+    c = codes.astype(U32).reshape(b // BASES_PER_WORD, BASES_PER_WORD)
+    shifts = (30 - 2 * jnp.arange(BASES_PER_WORD, dtype=U32)).astype(U32)
+    return jnp.bitwise_or.reduce(c << shifts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# k-mer extraction by funnel shift
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_kmers(packed: jnp.ndarray, positions: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Gather k-mers starting at base offsets `positions` from a packed array.
+
+    packed: (P,) uint32, 16 bases/word big-endian (the flat sequence pool).
+    positions: (N,) int32 base offsets into the flat pool.
+    returns: (N, W) uint32 left-aligned k-mer keys.
+
+    Replaces reference CopySubstring (src/sequence/copy_substr.h:53-178):
+    each output word is a funnel shift of two gathered input words, fully
+    vectorized over N.
+    """
+    w = words_per_kmer(k)
+    word0 = (positions // BASES_PER_WORD).astype(jnp.int32)  # (N,)
+    bitoff = ((positions % BASES_PER_WORD) * 2).astype(U32)  # (N,) in [0,30]
+    n = positions.shape[0]
+    p = packed.shape[0]
+
+    # gather words word0 + i and word0 + i + 1 for i in [0, w)
+    idx = word0[:, None] + jnp.arange(w + 1, dtype=jnp.int32)[None, :]  # (N, w+1)
+    idx = jnp.minimum(idx, p - 1)
+    words = packed[idx]  # (N, w+1) uint32
+
+    lo = words[:, :w] << bitoff[:, None]
+    # shift by 32 is undefined; when bitoff == 0 the high part must be 0.
+    hi = jnp.where(
+        bitoff[:, None] == 0,
+        jnp.zeros((n, w), dtype=U32),
+        words[:, 1 : w + 1] >> (U32(32) - bitoff[:, None]),
+    )
+    out = lo | hi
+    return mask_tail(out, k)
+
+
+def mask_tail(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Zero the unused low bits of the last word."""
+    w = keys.shape[-1]
+    used = k - (w - 1) * BASES_PER_WORD  # bases in last word, in [1,16]
+    if used == BASES_PER_WORD:
+        return keys
+    mask = U32(0xFFFFFFFF) << U32(32 - 2 * used)
+    return keys.at[..., -1].set(keys[..., -1] & mask)
+
+
+# ---------------------------------------------------------------------------
+# reverse complement / canonical
+# ---------------------------------------------------------------------------
+
+
+def _reverse_bases_in_word(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit groups within each uint32 (vectorized)."""
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xCCCCCCCC)) >> U32(2))
+    x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x & U32(0xF0F0F0F0)) >> U32(4))
+    x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x & U32(0xFF00FF00)) >> U32(8))
+    x = (x << U32(16)) | (x >> U32(16))
+    return x
+
+
+def shift_left_bits(keys: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Left-shift a (N, W) multi-word key by nbits (< 32), cross-word."""
+    if nbits == 0:
+        return keys
+    w = keys.shape[-1]
+    nb = U32(nbits)
+    hi = keys << nb
+    lo_src = jnp.concatenate(
+        [keys[..., 1:], jnp.zeros_like(keys[..., :1])], axis=-1
+    )
+    return hi | (lo_src >> (U32(32) - nb))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def revcomp_kmers(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, W) -> reverse complement, same layout.
+
+    Complement = bitwise NOT (since rc(base) = 3 - base = ~base in 2 bits),
+    reversal = per-word 2-bit-group reversal + word-order reversal + global
+    left shift to restore left alignment.
+    """
+    w = keys.shape[-1]
+    comp = ~keys
+    rev = _reverse_bases_in_word(comp)[..., ::-1]  # (N, W), right-aligned k bases
+    pad_bases = w * BASES_PER_WORD - k
+    out = shift_left_bits(rev, 2 * pad_bases) if pad_bases else rev
+    return mask_tail(out, k)
+
+
+def lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) < (N, W) lexicographic, word-major. Returns (N,) bool."""
+    w = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], dtype=bool)
+    eq = jnp.ones(a.shape[:-1], dtype=bool)
+    for i in range(w):
+        lt = lt | (eq & (a[..., i] < b[..., i]))
+        eq = eq & (a[..., i] == b[..., i])
+    return lt
+
+
+def lex_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_kmers(
+    keys: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (canonical keys, is_rc) where canonical = min(key, rc(key)).
+
+    Matches reference strand choice `rev_edge.cmp(edge) < 0` in
+    src/sorting/kmer_counter.cpp:137: the reverse complement is used only
+    when strictly smaller.
+    """
+    rc = revcomp_kmers(keys, k)
+    use_rc = lex_less(rc, keys)
+    out = jnp.where(use_rc[..., None], rc, keys)
+    return out, use_rc
+
+
+# ---------------------------------------------------------------------------
+# single-base surgery on keys (for neighbour-candidate queries)
+# ---------------------------------------------------------------------------
+
+
+def get_base(keys: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Base at position i (static) of each key. Returns (N,) uint32 in [0,3]."""
+    word = i // BASES_PER_WORD
+    sh = U32(30 - 2 * (i % BASES_PER_WORD))
+    return (keys[..., word] >> sh) & U32(3)
+
+
+def set_base(keys: jnp.ndarray, i: int, c) -> jnp.ndarray:
+    """Set base at static position i to c (scalar or (N,) array)."""
+    word = i // BASES_PER_WORD
+    sh = U32(30 - 2 * (i % BASES_PER_WORD))
+    cleared = keys[..., word] & ~(U32(3) << sh)
+    cval = (jnp.asarray(c).astype(U32) & U32(3)) << sh
+    return keys.at[..., word].set(cleared | cval)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def drop_first_base(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """keys[1:k] followed by a zero base: left shift by one base."""
+    return mask_tail(shift_left_bits(keys, 2), k)
+
+
+def shift_right_bits(keys: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Right-shift a (N, W) multi-word key by nbits (< 32), cross-word."""
+    if nbits == 0:
+        return keys
+    nb = U32(nbits)
+    lo = keys >> nb
+    hi_src = jnp.concatenate(
+        [jnp.zeros_like(keys[..., :1]), keys[..., :-1]], axis=-1
+    )
+    return lo | (hi_src << (U32(32) - nb))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def prepend_base(keys: jnp.ndarray, c, k: int) -> jnp.ndarray:
+    """c + keys[0:k-1]: right shift by one base, set base 0 to c."""
+    out = shift_right_bits(keys, 2)
+    out = set_base(out, 0, c)
+    return mask_tail(out, k)
+
+
+# ---------------------------------------------------------------------------
+# sorting and searching multi-word keys
+# ---------------------------------------------------------------------------
+
+
+def sort_keys_with_payload(
+    keys: jnp.ndarray, *payloads: jnp.ndarray
+) -> tuple[jnp.ndarray, ...]:
+    """Lexicographically sort (N, W) keys; payloads are permuted along.
+
+    Returns (sorted_keys, *sorted_payloads). Uses lax.sort with W key
+    operands (the TPU replacement for the reference's kmlib radix sort,
+    src/kmlib/kmsort.h).
+    """
+    w = keys.shape[-1]
+    operands = tuple(keys[:, i] for i in range(w)) + tuple(payloads)
+    out = jax.lax.sort(operands, num_keys=w, is_stable=True)
+    sorted_keys = jnp.stack(out[:w], axis=-1)
+    return (sorted_keys,) + tuple(out[w:])
+
+
+def searchsorted_keys(
+    sorted_keys: jnp.ndarray, queries: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched multi-word binary search.
+
+    sorted_keys: (E, W) lexicographically sorted.
+    queries: (Q, W).
+    Returns (idx, found): idx (Q,) int32 = index of exact match (or
+    insertion point if absent), found (Q,) bool.
+
+    This replaces the reference's IndexBinarySearch (src/sdbg/sdbg.h:141)
+    which walks Backward() per probe; here it is a data-parallel fixed
+    trip-count loop of multi-word compares.
+    """
+    e = sorted_keys.shape[0]
+    q = queries.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
+
+    lo = jnp.zeros((q,), dtype=jnp.int32)
+    hi = jnp.full((q,), e, dtype=jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        mid_keys = sorted_keys[jnp.minimum(mid, e - 1)]
+        less = lex_less(mid_keys, queries)  # sorted[mid] < query
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    idx = lo
+    safe = jnp.minimum(idx, e - 1)
+    found = (idx < e) & lex_eq(sorted_keys[safe], queries)
+    return idx.astype(jnp.int32), found
