@@ -1,0 +1,407 @@
+"""The succinct de Bruijn graph, TPU-native redesign.
+
+Semantics (matching the reference SdBG, src/sdbg/sdbg.h): at parameter k,
+graph EDGES are distinct k-mers and NODES are (k-1)-mers. An edge's source
+node is its (k-1)-prefix, its target node its (k-1)-suffix. Both strands
+are present (the edge set is closed under reverse complement).
+
+Representation redesign: instead of the reference's BWT-style W array +
+rank/select bitvectors (src/kmlib/kmrns.h) navigated one edge at a time,
+we store the sorted multi-word k-mer keys themselves plus four
+precomputed neighbour-candidate index tables:
+
+  oc_t[e][c] = index of edge  key(e)[1:] + c      (out-edges of target)
+  ic_t[e][c] = index of edge  c + key(e)[1:]      (in-edges  of target)
+  oc_s[e][c] = index of edge  key(e)[:k-1] + c    (out-edges of source)
+  ic_s[e][c] = index of edge  c + key(e)[:k-1]    (in-edges  of source)
+
+(-1 where the k-mer does not exist). Degree queries and simple-path
+navigation then become masked gathers over whole edge frontiers - no
+rank/select chains, no data-dependent control flow, no locks. Edge
+deletion flips bits in a `valid` mask only (like the reference's
+mutable validity bitvector over a static structure, sdbg.h:88-94).
+
+Deviation from the reference (documented): adjacency is node-level
+(any in-edge of a node connects to any out-edge); the reference
+additionally keeps per-(k+1)-context rows whose dummy-$ machinery can
+suppress rare evidence-free junctions. Edge multiplicity here is the max
+over (k+1)-contexts rather than per-context.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmerops
+from ..utils.log import get_logger
+from .counter import KMAX_MUL, _pow2_pad, pack_flat
+
+NULL = np.int32(-1)
+
+
+@dataclass
+class Sdbg:
+    k: int
+    keys: np.ndarray  # (E, W) uint32, lexicographically sorted
+    mult: np.ndarray  # (E,) int32
+    rc: np.ndarray  # (E,) int32 index of reverse-complement edge
+    oc_t: np.ndarray  # (E, 4) int32
+    ic_t: np.ndarray  # (E, 4) int32
+    oc_s: np.ndarray  # (E, 4) int32
+    ic_s: np.ndarray  # (E, 4) int32
+    valid: np.ndarray  # (E,) bool, mutable
+
+    @property
+    def size(self) -> int:
+        return len(self.keys)
+
+    def num_valid(self) -> int:
+        return int(self.valid.sum())
+
+    def edge_codes(self, e: int) -> np.ndarray:
+        from ..core import packing
+
+        return packing.unpack_words(self.keys[e], self.k)
+
+    def invalidate(self, mask: np.ndarray) -> None:
+        """Invalidate edges in `mask` AND their reverse complements,
+        keeping validity rc-symmetric (the reference walks both strands
+        explicitly; symmetry is an invariant here)."""
+        full = mask.copy()
+        full[self.rc[mask]] = True
+        self.valid &= ~full
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+
+def seq_window_table(starts: np.ndarray, k: int) -> tuple[np.ndarray, ...]:
+    """Positions, seq ids and in-seq offsets of all k-windows of seqs with
+    length >= k+1 (the reference skips shorter seqs, seq_to_sdbg.cpp:539)."""
+    lengths = np.diff(starts)
+    n_win = np.where(lengths >= k + 1, lengths - k + 1, 0).astype(np.int64)
+    total = int(n_win.sum())
+    pos = np.empty(total, dtype=np.int32)
+    sid = np.empty(total, dtype=np.int32)
+    off = np.empty(total, dtype=np.int32)
+    out = 0
+    for i, (s, n) in enumerate(zip(starts[:-1], n_win)):
+        if n > 0:
+            pos[out : out + n] = np.arange(s, s + n, dtype=np.int32)
+            sid[out : out + n] = i
+            off[out : out + n] = np.arange(n, dtype=np.int32)
+            out += n
+    return pos, sid, off, n_win
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _extract_both_strands(packed, positions, mult_fwd, mult_rc, k):
+    fwd = kmerops.extract_kmers(packed, positions, k)
+    rc = kmerops.revcomp_kmers(fwd, k)
+    keys = jnp.concatenate([fwd, rc], axis=0)
+    mults = jnp.concatenate([mult_fwd, mult_rc], axis=0)
+    return keys, mults
+
+
+@jax.jit
+def _dedup_sorted_max(skeys, smult):
+    """head mask + per-group max multiplicity scattered to head rows."""
+    n = skeys.shape[0]
+    prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
+    head = jnp.any(skeys != prev, axis=-1).at[0].set(True)
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    gmax = jax.ops.segment_max(smult, seg, num_segments=n)
+    return head, gmax[seg] * head
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _neighbor_tables(keys, k):
+    """Compute rc index + the four (E,4) candidate tables by batched
+    multi-word binary search over the sorted key array itself."""
+    e = keys.shape[0]
+
+    def find(queries):
+        idx, found = kmerops.searchsorted_keys(keys, queries)
+        return jnp.where(found, idx, NULL)
+
+    rc_keys = kmerops.revcomp_kmers(keys, k)
+    rc_idx = find(rc_keys)
+
+    dropped = kmerops.drop_first_base(keys, k)  # keys[1:] + 0
+
+    def table(make_query):
+        cols = [find(make_query(c)) for c in range(4)]
+        return jnp.stack(cols, axis=-1)
+
+    oc_t = table(lambda c: kmerops.mask_tail(
+        kmerops.set_base(dropped, k - 1, c), k))
+    ic_t = table(lambda c: kmerops.set_base(keys, 0, c))
+    oc_s = table(lambda c: kmerops.set_base(keys, k - 1, c))
+    ic_s = table(lambda c: kmerops.prepend_base(keys, c, k))
+    return rc_idx, oc_t, ic_t, oc_s, ic_s
+
+
+def build_sdbg(
+    flat_codes: np.ndarray,
+    starts: np.ndarray,
+    seq_mults: np.ndarray,
+    k: int,
+    batch_windows: int = 1 << 21,
+) -> Sdbg:
+    """Build the graph at parameter k from a pool of sequences with
+    per-sequence multiplicities.
+
+    Edges = distinct k-windows of the sequences (both strands).
+    Multiplicity contribution rule matches seq_to_sdbg.cpp:640-643:
+    a window contributes its sequence's multiplicity unless it sits at
+    offset 0 of the traversal strand; dedup takes the max contribution.
+
+    This replaces the reference `seq2sdbg` CX1 sort + BWT emission
+    (src/sorting/seq_to_sdbg.cpp:630-789) with: funnel-shift window
+    extraction -> device lexicographic sort -> segment-max dedup ->
+    batched binary-search neighbour tables.
+    """
+    log = get_logger()
+    w = kmerops.words_per_kmer(k)
+    pos, sid, off, n_win = seq_window_table(starts, k)
+    n = len(pos)
+    if n == 0:
+        z4 = np.zeros((0, 4), dtype=np.int32)
+        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
+                    z4.copy(), np.zeros(0, bool))
+
+    packed = jnp.asarray(pack_flat(flat_codes))
+    seq_mults = np.asarray(seq_mults, dtype=np.int32)
+    lengths = np.diff(starts).astype(np.int32)
+    last_off = (lengths - k)[sid]  # per-window: L - k of its seq
+    m = seq_mults[sid]
+    mult_fwd = np.where(off > 0, m, 0).astype(np.int32)
+    mult_rc = np.where(off < last_off, m, 0).astype(np.int32)
+
+    chunks_k, chunks_m = [], []
+    for lo in range(0, n, batch_windows):
+        hi = min(n, lo + batch_windows)
+        npad = _pow2_pad(hi - lo)
+        p = np.zeros(npad, dtype=np.int32)
+        p[: hi - lo] = pos[lo:hi]
+        mf = np.zeros(npad, dtype=np.int32)
+        mf[: hi - lo] = mult_fwd[lo:hi]
+        mr = np.zeros(npad, dtype=np.int32)
+        mr[: hi - lo] = mult_rc[lo:hi]
+        kk, mm = _extract_both_strands(
+            packed, jnp.asarray(p), jnp.asarray(mf), jnp.asarray(mr), k
+        )
+        kk = np.asarray(kk)
+        mm = np.asarray(mm)
+        sel = np.concatenate([np.arange(hi - lo), npad + np.arange(hi - lo)])
+        chunks_k.append(kk[sel])
+        chunks_m.append(mm[sel])
+    keys = np.concatenate(chunks_k, axis=0)
+    mults = np.concatenate(chunks_m, axis=0)
+
+    total = 2 * n
+    npad = _pow2_pad(total)
+    if npad > total:
+        keys = np.concatenate(
+            [keys, np.full((npad - total, w), 0xFFFFFFFF, np.uint32)], axis=0
+        )
+        mults = np.concatenate(
+            [mults, np.full(npad - total, -1, np.int32)], axis=0
+        )
+
+    skeys, smult = kmerops.sort_keys_with_payload(
+        jnp.asarray(keys), jnp.asarray(mults)
+    )
+    head, gmult = _dedup_sorted_max(skeys, smult)
+    skeys, head, gmult = np.asarray(skeys), np.asarray(head), np.asarray(gmult)
+    keep = head.copy()
+    if npad > total:
+        keep[total:] = False  # padding rows can only start sentinel groups
+        # a sentinel group headed before `total` would mean a real all-one
+        # key, impossible unless k % 16 == 0 AND all-T; in that case its
+        # max-mult is still correct because padding mults are -1.
+    edges = skeys[keep]
+    mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
+
+    e = len(edges)
+    epad = _pow2_pad(e)
+    if epad > e:
+        edges_p = np.concatenate(
+            [edges, np.full((epad - e, w), 0xFFFFFFFF, np.uint32)], axis=0
+        )
+    else:
+        edges_p = edges
+    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(jnp.asarray(edges_p), k)
+
+    def trim(t):
+        t = np.asarray(t)[:e].copy()
+        t[t >= e] = NULL  # matches into padding are not real
+        return t
+
+    rc_idx = trim(rc_idx)
+    assert (rc_idx >= 0).all(), "edge set must be closed under revcomp"
+    sdbg = Sdbg(
+        k=k,
+        keys=edges,
+        mult=mult,
+        rc=rc_idx,
+        oc_t=trim(oc_t),
+        ic_t=trim(ic_t),
+        oc_s=trim(oc_s),
+        ic_s=trim(ic_s),
+        valid=np.ones(e, dtype=bool),
+    )
+    log.debug("sdbg k=%d: %d windows -> %d edges", k, n, e)
+    return sdbg
+
+
+# ---------------------------------------------------------------------------
+# navigation (vectorized over all edges)
+# ---------------------------------------------------------------------------
+
+
+def _cand_valid(cand: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(E,4) candidate indices -> (E,4) bool: candidate exists and valid."""
+    safe = jnp.maximum(cand, 0)
+    return (cand >= 0) & valid[safe]
+
+
+def degrees(sdbg_arrays, valid):
+    """Returns (outdeg_t, indeg_t, outdeg_s, indeg_s), each (E,) int32."""
+    oc_t, ic_t, oc_s, ic_s = sdbg_arrays
+    return (
+        _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32),
+        _cand_valid(ic_t, valid).sum(-1, dtype=jnp.int32),
+        _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32),
+        _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32),
+    )
+
+
+def _unique_valid(cand, valid):
+    """The single valid candidate per row (assuming exactly one), else -1."""
+    cv = _cand_valid(cand, valid)
+    return jnp.max(jnp.where(cv, cand, NULL), axis=-1)
+
+
+@jax.jit
+def simple_path_links(oc_t, ic_t, oc_s, ic_s, valid):
+    """next[e], prev[e]: the simple-path successor/predecessor, -1 if none.
+
+    next[e] = the unique out-edge f of target(e) when target(e) has
+    out-degree 1 and in-degree 1 (reference SDBG::NextSimplePathEdge,
+    sdbg.h:418-427); prev is symmetric (PrevSimplePathEdge, sdbg.h:404-412).
+    """
+    odt = _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32)
+    idt = _cand_valid(ic_t, valid).sum(-1, dtype=jnp.int32)
+    ods = _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32)
+    ids = _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32)
+    nxt = jnp.where(
+        valid & (odt == 1) & (idt == 1), _unique_valid(oc_t, valid), NULL
+    )
+    prv = jnp.where(
+        valid & (ids == 1) & (ods == 1), _unique_valid(ic_s, valid), NULL
+    )
+    return nxt, prv
+
+
+# ---------------------------------------------------------------------------
+# SdBG-level tip removal (reference src/assembly/sdbg_pruning.cpp:61-178)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _trim_tips_once(oc_t, ic_t, oc_s, ic_s, valid, max_len: int):
+    """One Trim(len) pass: walk back from out-degree-0 edges through
+    unique-prev chains up to max_len edges; if the chain detaches (branch
+    or dead start) it is a tip - remove it and its reverse complement.
+
+    Returns new validity mask and number of tips removed. The reference's
+    symmetric forward pass over in-degree-0 seeds is exactly the rc image
+    of this pass, so removing rc(path) too is equivalent.
+    """
+    e = valid.shape[0]
+    odt = _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32)
+    ids_ = _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32)
+    ods = _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32)
+
+    uniq_prev = jnp.where(ids_ == 1, _unique_valid(ic_s, valid), NULL)
+    # prev has unique next <=> prev's target outdeg == 1 (target(prev) ==
+    # source(e)): outdeg of source(e)
+    prev_has_unique_next = ods == 1
+
+    seed = valid & (odt == 0)
+    idx = jnp.arange(e, dtype=jnp.int32)
+
+    def walk(state, _):
+        cur, alive, is_tip, steps = state
+        prv = jnp.where(alive, uniq_prev[jnp.maximum(cur, 0)], NULL)
+        no_prev = prv == NULL
+        # stop: no unique prev -> tip iff indeg(source(cur)) == 0
+        tip_dead = no_prev & (ids_[jnp.maximum(cur, 0)] == 0)
+        # stop: prev exists but prev is a branch (multiple nexts) -> tip
+        tip_branch = (~no_prev) & (~prev_has_unique_next[jnp.maximum(cur, 0)])
+        newly_tip = alive & (tip_dead | tip_branch)
+        is_tip = is_tip | newly_tip
+        cont = alive & (~no_prev) & prev_has_unique_next[jnp.maximum(cur, 0)]
+        cur = jnp.where(cont, prv, cur)
+        steps = steps + cont.astype(jnp.int32)
+        return (cur, cont, is_tip, steps), None
+
+    init = (idx, seed, jnp.zeros(e, bool), jnp.zeros(e, jnp.int32))
+    (cur, alive, is_tip, steps), _ = jax.lax.scan(
+        walk, init, None, length=max(max_len - 1, 1)
+    )
+    # paths that ran out of budget while still alive are not tips
+
+    # second pass: mark the tip paths
+    to_remove = jnp.zeros(e, bool)
+    to_remove = to_remove | (seed & is_tip)
+
+    def mark(state, _):
+        cur, alive, to_remove = state
+        prv = jnp.where(alive, uniq_prev[jnp.maximum(cur, 0)], NULL)
+        cont = alive & (prv != NULL) & prev_has_unique_next[
+            jnp.maximum(cur, 0)
+        ]
+        cur = jnp.where(cont, prv, cur)
+        to_remove = to_remove.at[jnp.maximum(cur, 0)].max(cont)
+        return (cur, cont, to_remove), None
+
+    (cur2, alive2, to_remove), _ = jax.lax.scan(
+        mark, (idx, seed & is_tip, to_remove), None,
+        length=max(max_len - 1, 1),
+    )
+    n_tips = jnp.sum(seed & is_tip)
+    return to_remove, n_tips
+
+
+def remove_tips_sdbg(sdbg: Sdbg, max_tip_len: int) -> int:
+    """Doubling-length tip removal schedule (sdbg_pruning.cpp:147-178)."""
+    log = get_logger()
+    total = 0
+    lens = []
+    ln = 2
+    while ln < max_tip_len:
+        lens.append(ln)
+        ln *= 2
+    lens.append(max_tip_len)
+    for ln in lens:
+        valid = jnp.asarray(sdbg.valid)
+        to_remove, n = _trim_tips_once(
+            jnp.asarray(sdbg.oc_t), jnp.asarray(sdbg.ic_t),
+            jnp.asarray(sdbg.oc_s), jnp.asarray(sdbg.ic_s), valid, int(ln)
+        )
+        to_remove = np.asarray(to_remove)
+        total += int(n)
+        if to_remove.any():
+            sdbg.invalidate(to_remove)
+    log.debug("sdbg tips removed: %d (max_len=%d)", total, max_tip_len)
+    return total

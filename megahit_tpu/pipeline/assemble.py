@@ -1,0 +1,157 @@
+"""Per-k assembly: SdBG -> cleaned unitig graph -> contigs.
+
+Faithful re-expression of the reference `assemble` subprogram
+(src/main_assemble.cpp:119-304): same pruning order, same defaults,
+same output routing (contigs / final standalone / addi / bubble_seq).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import packing
+from ..graph import cleaning
+from ..graph.output import output_contigs
+from ..graph.sdbg import Sdbg, remove_tips_sdbg
+from ..graph.unitig import build_unitig_graph
+from ..io.contig_io import ContigRecord
+from ..utils.log import get_logger
+
+
+@dataclass
+class AssembleOptions:
+    """Mirrors reference LocalAsmOption (main_assemble.cpp:40-64)."""
+
+    local_width: int = 1000
+    max_tip_len: int = -1
+    min_standalone: int = 200
+    min_depth: float = -1
+    is_final_round: bool = False
+    bubble_level: int = 2
+    merge_len: int = 20
+    merge_similar: float = 0.98
+    prune_level: int = 2
+    disconnect_ratio: float = 0.1
+    low_local_ratio: float = 0.2
+    cleaning_rounds: int = 5
+    output_standalone: bool = False
+    careful_bubble: bool = False
+
+
+@dataclass
+class AssembleResult:
+    contigs: list  # ContigRecord
+    final_contigs: list
+    addi_contigs: list
+    bubbles: list  # ContigRecord (careful-bubble branches)
+    stats: dict
+
+
+def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
+    log = get_logger()
+    k = sdbg.k
+    max_tip_len = opt.max_tip_len if opt.max_tip_len != -1 else 2 * k
+    min_depth = opt.min_depth
+    if min_depth <= 0:
+        min_depth = cleaning.infer_min_depth(sdbg)
+        log.info("min depth set to %.3f", min_depth)
+
+    if max_tip_len > 0:
+        n = remove_tips_sdbg(sdbg, max_tip_len)
+        log.info("sdbg tips removed: %d", n)
+
+    g = build_unitig_graph(sdbg)
+    log.info("unitig graph size: %d", g.size)
+
+    careful = 0.2 if opt.careful_bubble else None
+    bubble_records: list[tuple[str, float]] = []
+
+    for rnd in range(1, opt.cleaning_rounds + 1):
+        changed = False
+        if rnd > 1:
+            g, n_tips = cleaning.remove_tips(g, max_tip_len)
+            changed |= n_tips > 0
+            log.info("tips removed: %d", n_tips)
+        if opt.bubble_level >= 1:
+            g, n = cleaning.pop_bubbles(
+                g, k + 2, permanent=True,
+                careful_threshold=careful, bubble_records=bubble_records,
+            )
+            changed |= n > 0
+            log.info("bubbles removed: %d", n)
+        if opt.bubble_level >= 2:
+            g, n = cleaning.pop_complex_bubbles(
+                g, opt.merge_len, opt.merge_similar, permanent=True,
+                careful_threshold=careful, bubble_records=bubble_records,
+            )
+            changed |= n > 0
+            log.info("complex bubbles removed: %d", n)
+        g, n_disc = cleaning.disconnect_weak_links(g, opt.disconnect_ratio)
+        changed |= n_disc > 0
+        log.info("unitigs disconnected: %d", n_disc)
+
+        if opt.prune_level >= 3:
+            g, n1 = cleaning.remove_low_depth(g, min_depth)
+            g, n2 = cleaning.pop_bubbles(g, k + 2, permanent=True)
+            n3 = 0
+            if opt.bubble_level >= 2 and opt.merge_len > 0:
+                g, n3 = cleaning.pop_complex_bubbles(
+                    g, opt.merge_len, opt.merge_similar, permanent=True
+                )
+            log.info("excessive pruning removed: %d", n1 + n2 + n3)
+        elif opt.prune_level >= 2:
+            g, n, _ = cleaning.remove_local_low_depth(
+                g, min_depth, max_tip_len, opt.local_width,
+                min(opt.low_local_ratio, 0.1), permanent=True,
+            )
+            log.info("excessive pruning removed: %d", n)
+        if not changed:
+            break
+
+    contigs: list[ContigRecord] = []
+    finals: list[ContigRecord] = []
+    addi: list[ContigRecord] = []
+
+    if not (opt.is_final_round and opt.prune_level >= 1):
+        contigs, finals = output_contigs(
+            g, change_only=False, min_standalone=opt.min_standalone,
+            want_final=opt.output_standalone,
+        )
+
+    if opt.prune_level >= 1:
+        g, n_removed = cleaning.iterate_local_low_depth(
+            g, min_depth, max_tip_len, opt.local_width,
+            opt.low_local_ratio, permanent=opt.is_final_round,
+        )
+        n_bub = 0
+        if opt.bubble_level >= 2 and opt.merge_len > 0:
+            g, n_bub = cleaning.pop_complex_bubbles(
+                g, opt.merge_len, opt.merge_similar, permanent=False
+            )
+        log.info(
+            "local low depth removed: %d, complex bubbles: %d",
+            n_removed, n_bub,
+        )
+        if not opt.is_final_round:
+            addi, _ = output_contigs(g, change_only=True)
+        else:
+            contigs, finals = output_contigs(
+                g, change_only=False, min_standalone=opt.min_standalone,
+                want_final=opt.output_standalone,
+            )
+
+    bubble_contigs = [
+        ContigRecord(packing.encode(s), k, 0, 0, m)
+        for s, m in bubble_records
+    ]
+    lengths = np.array([c.length for c in contigs + finals], dtype=np.int64)
+    from ..graph.output import contig_stats
+
+    stats = contig_stats(lengths)
+    log.info(
+        "%d contigs, total %d bp, min %d bp, max %d bp, N50 %d bp",
+        stats["n"], stats["total"], stats["min"], stats["max"], stats["n50"],
+    )
+    return AssembleResult(contigs, finals, addi, bubble_contigs, stats)
