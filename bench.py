@@ -1,0 +1,95 @@
+"""Benchmark: SdBG-construction hot path throughput on one chip.
+
+Times the core sorting-engine replacement (extract canonical (k+1)-mers
+-> multi-word sort -> run-length count; reference hot path
+src/sorting/base_engine.cpp Lv0/Lv1/Lv2 + kmlib radix sort) on synthetic
+reads and reports bases processed per second.
+
+Timing notes: under the axon tunnel `block_until_ready` does not wait
+for device execution, and a host readback carries a large fixed RTT, so
+we run `REPS` chained steps inside one jitted fori_loop (each step
+derives new window positions from an LCG so no step can be elided),
+fetch one dependent scalar, and subtract the separately measured RTT.
+
+Prints ONE JSON line:
+  {"metric": "sdbg_count_throughput", "value": bp/s, "unit": "bp/s",
+   "vs_baseline": value / 1e9}
+(north star: 1 Gbp/s per chip, BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REPS = 10
+LOG2_POS = 24  # 16.7M windows per step
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from megahit_tpu.core import kmerops
+
+    k1 = 22
+    w = kmerops.words_per_kmer(k1)
+    n_pos = 1 << LOG2_POS
+    n_words = n_pos // 16 + w
+
+    rng = np.random.default_rng(0)
+    packed = jax.device_put(
+        jnp.asarray(rng.integers(0, 2**32, n_words, dtype=np.uint32))
+    )
+
+    def one_step(packed):
+        keys = kmerops.extract_all_kmers(packed, k1)
+        canon, _ = kmerops.canonical_kmers(keys, k1)
+        skeys = kmerops.sort_keys_with_payload(canon)[0]
+        head, counts = kmerops.count_sorted_runs(
+            skeys, jnp.ones(skeys.shape[0], dtype=bool)
+        )
+        return skeys, counts, head
+
+    @jax.jit
+    def run(packed):
+        def body(i, carry):
+            packed, acc = carry
+            skeys, counts, head = one_step(packed)
+            acc = acc + head.sum() + skeys[0, 0].astype(jnp.int32)
+            # LCG-mix the pool so every step sorts fresh data
+            packed = packed * jnp.uint32(2654435761) + jnp.uint32(i)
+            return packed, acc
+        _, acc = jax.lax.fori_loop(
+            0, REPS, body, (packed, jnp.int32(0))
+        )
+        return acc
+
+    @jax.jit
+    def trivial(packed):
+        return packed[0]
+
+    _ = np.asarray(run(packed))  # compile + warmup
+    _ = np.asarray(trivial(packed))
+
+    t0 = time.perf_counter()
+    rtt = float(np.asarray(trivial(packed)) * 0 + 1)
+    rtt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _ = np.asarray(run(packed))
+    total = time.perf_counter() - t0
+
+    dt = max(total - rtt, 1e-9) / REPS
+    bp_per_s = n_pos / dt
+    print(json.dumps({
+        "metric": "sdbg_count_throughput",
+        "value": round(bp_per_s, 1),
+        "unit": "bp/s",
+        "vs_baseline": round(bp_per_s / 1e9, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,6 +84,35 @@ def extract_kmers(packed: jnp.ndarray, positions: jnp.ndarray, k: int) -> jnp.nd
     return mask_tail(out, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_all_kmers(packed: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-mer keys at EVERY base offset of a packed pool - gather-free.
+
+    packed: (P,) uint32. Returns ((P - W) * 16, W) keys where row p is
+    the k-mer starting at base offset p. Rows whose window crosses a
+    sequence boundary are garbage; callers mask them out with a validity
+    mask computed from the start-offset table.
+
+    This is the hot-path replacement for extract_kmers when positions
+    are dense (they always are in counting: every window of every read):
+    a random gather of (N, W+1) words costs ~10x more on TPU than these
+    static slices + 16 shift variants, which stream through the VPU.
+    """
+    w = words_per_kmer(k)
+    p = packed.shape[0]
+    q = p - w
+    assert q > 0, "packed pool shorter than one k-mer"
+    cols = [jax.lax.dynamic_slice_in_dim(packed, j, q) for j in range(w + 1)]
+    a = jnp.stack(cols, axis=1)  # (q, w+1)
+    lo = a[:, :w]
+    hi = a[:, 1:]
+    variants = [lo] + [
+        (lo << U32(2 * r)) | (hi >> U32(32 - 2 * r)) for r in range(1, 16)
+    ]
+    keys = jnp.stack(variants, axis=1).reshape(q * 16, w)
+    return mask_tail(keys, k)
+
+
 def mask_tail(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """Zero the unused low bits of the last word."""
     w = keys.shape[-1]
@@ -234,6 +263,65 @@ def sort_keys_with_payload(
     out = jax.lax.sort(operands, num_keys=w, is_stable=True)
     sorted_keys = jnp.stack(out[:w], axis=-1)
     return (sorted_keys,) + tuple(out[w:])
+
+
+def _scan_rows(n: int) -> int:
+    """Largest power-of-two row count <= 4096 that divides n (for the
+    two-level scan decomposition; 1-D scans lower poorly on TPU)."""
+    rows = 1
+    while rows < 4096 and n % (rows * 2) == 0:
+        rows *= 2
+    return rows
+
+
+def cummin_reverse(x: jnp.ndarray) -> jnp.ndarray:
+    """Reversed cumulative minimum of a 1-D int32 array, computed as a
+    two-level (row-wise + carry) scan: ~2x faster than the 1-D lowering
+    on TPU and unlocks VPU-shaped (rows, cols) tiles."""
+    n = x.shape[0]
+    rows = _scan_rows(n)
+    if rows < 8:
+        return jax.lax.cummin(x, axis=0, reverse=True)
+    x2 = x.reshape(rows, -1)
+    within = jax.lax.cummin(x2, axis=1, reverse=True)
+    carry = jax.lax.cummin(within[:, 0], axis=0, reverse=True)
+    carry = jnp.concatenate(
+        [carry[1:], jnp.full((1,), jnp.iinfo(x.dtype).max, x.dtype)]
+    )
+    return jnp.minimum(within, carry[:, None]).reshape(-1)
+
+
+def count_sorted_runs(
+    skeys: jnp.ndarray, valid: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run-length count over lexicographically sorted (N, W) keys.
+
+    valid marks real rows; invalid/padding rows MUST carry all-ones
+    sentinel keys, which sort to the array tail. Returns (head, counts):
+    head marks the first row of each run that contains at least one
+    valid row; counts holds, on head rows, the number of valid rows in
+    the run.
+
+    Cost model: a segment_sum formulation is a 1-to-N scatter+gather
+    that dominates the whole count step on TPU. Instead: counts = (next
+    head index) - (own index) via one reversed cummin; the only run that
+    can contain invalid rows is the final (sentinel-key) run, corrected
+    with a scalar reduce - no gathers at all.
+    """
+    n = skeys.shape[0]
+    prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
+    head = jnp.any(skeys != prev, axis=-1).at[0].set(True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    head_pos = jnp.where(head, idx, n)
+    # next head strictly after i: reversed cummin, shifted left by one
+    nh = cummin_reverse(head_pos)
+    nh = jnp.concatenate([nh[1:], jnp.full((1,), n, jnp.int32)])
+    counts = nh - idx
+    n_inv = jnp.sum(~valid, dtype=jnp.int32)
+    counts = jnp.where(nh == n, counts - n_inv, counts)
+    counts = jnp.where(head, counts, 0)
+    head = head & (counts > 0)
+    return head, counts
 
 
 def searchsorted_keys(

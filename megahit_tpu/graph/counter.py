@@ -45,6 +45,21 @@ def window_positions(starts: np.ndarray, k: int) -> np.ndarray:
     return pos
 
 
+def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
+    """valid[p] = the k-window at flat offset p lies inside one sequence.
+
+    Companion to kmerops.extract_all_kmers: marks which of the dense
+    all-offset keys are real windows. Built with a +1/-1 range paint.
+    """
+    delta = np.zeros(n_pos + 1, dtype=np.int8)
+    lengths = np.diff(starts)
+    s = starts[:-1][lengths >= k]
+    e = s + (lengths[lengths >= k] - k + 1)
+    np.add.at(delta, s, 1)
+    np.add.at(delta, np.minimum(e, n_pos), -1)
+    return np.cumsum(delta[:-1]) > 0
+
+
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:
     pad = (-len(flat_codes)) % 16
     padded = np.concatenate(
@@ -54,25 +69,14 @@ def pack_flat(flat_codes: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _extract_canonical(packed, positions, k):
-    keys = kmerops.extract_kmers(packed, positions, k)
+def _extract_canonical_dense(packed, k):
+    """Canonical keys at every base offset (gather-free hot path)."""
+    keys = kmerops.extract_all_kmers(packed, k)
     canon, _ = kmerops.canonical_kmers(keys, k)
     return canon
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _count_sorted_runs(skeys, valid_in):
-    """Given lexicographically sorted (N, W) keys and a validity mask,
-    return (head mask, per-head run counts scattered to head rows)."""
-    n = skeys.shape[0]
-    prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
-    head = jnp.any(skeys != prev, axis=-1)
-    head = head.at[0].set(True)
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    ones = valid_in.astype(jnp.int32)
-    counts_per_seg = jax.ops.segment_sum(ones, seg, num_segments=n)
-    counts = counts_per_seg[seg] * head  # counts on head rows, 0 elsewhere
-    return head, counts
+_count_sorted_runs = jax.jit(kmerops.count_sorted_runs)
 
 
 def count_canonical_kmers(
@@ -92,22 +96,38 @@ def count_canonical_kmers(
     """
     log = get_logger()
     w = kmerops.words_per_kmer(k1)
-    positions = window_positions(starts, k1)
-    n = len(positions)
+    n_bases = int(starts[-1])
+    n = n_bases - k1 + 1
+    if n <= 0:
+        return np.zeros((0, w), dtype=np.uint32), np.zeros(0, dtype=np.int32)
+    valid_all = window_valid_mask(starts, k1, n_bases)
+    n = int(valid_all.sum())
     if n == 0:
         return np.zeros((0, w), dtype=np.uint32), np.zeros(0, dtype=np.int32)
-    packed = jnp.asarray(pack_flat(flat_codes))
+    packed_np = pack_flat(flat_codes)
+    # pad so every base offset has a full (W+1)-word window to read from
+    packed_np = np.concatenate(
+        [packed_np, np.zeros(w + 1, dtype=np.uint32)]
+    )
+    packed = jnp.asarray(packed_np)
 
-    # extract in batches to bound peak memory, accumulate on device
+    # dense extraction over word-range chunks, host-compacted by validity
+    n_dense = (len(packed_np) - w) * 16
+    chunk = max(1 << 16, batch_windows)
     chunks = []
-    for lo in range(0, n, batch_windows):
-        hi = min(n, lo + batch_windows)
-        npad = _pow2_pad(hi - lo)
-        pos = np.zeros(npad, dtype=np.int32)
-        pos[: hi - lo] = positions[lo:hi]
-        canon = _extract_canonical(packed, jnp.asarray(pos), k1)
-        chunks.append(np.asarray(canon[: hi - lo]))
+    for lo in range(0, n_bases, chunk):
+        hi = min(n_dense, lo + chunk)
+        lo_w, hi_w = lo // 16, (hi + 15) // 16
+        size = min(hi_w + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        canon = np.asarray(_extract_canonical_dense(sub, k1))
+        vm = valid_all[lo : lo + len(canon)]
+        canon = canon[: len(vm)]
+        chunks.append(canon[vm])
+        if hi >= n_dense:
+            break
     keys = np.concatenate(chunks, axis=0)
+    assert len(keys) == n, (len(keys), n)
 
     # pad to power of two with sentinel (all ones) keys
     npad = _pow2_pad(n)

@@ -1,0 +1,185 @@
+"""Device-mesh sharded k-mer counting: the scale-out path.
+
+The reference partitions (k+1)-mers into 65,536 prefix buckets and
+schedules bucket ranges under a memory budget on one node
+(src/sorting/base_engine.cpp:176-281). The TPU-native redesign shards
+work over a ``jax.sharding.Mesh``: every chip extracts canonical k-mers
+from its shard of read windows, routes each k-mer to an owner chip by a
+hash of its key (uniform, unlike prefix buckets which are skewed toward
+A/C-leading canonical k-mers), shuffles with one ``all_to_all`` over
+ICI, then counts locally with a sort + segment-reduce. Each distinct
+k-mer is counted on exactly one chip, so the union of per-chip results
+is the global answer - no second reduction needed.
+
+The all_to_all uses a fixed per-destination capacity (static shapes for
+XLA); an overflow counter is returned so callers can detect truncation
+and retry with a higher capacity factor. With a uniform hash the load
+per destination concentrates tightly around B/n, so the default 2x
+capacity virtually never overflows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import kmerops
+
+U32 = jnp.uint32
+
+
+def kmer_hash(keys: jnp.ndarray) -> jnp.ndarray:
+    """Mix the words of each (N, W) key into one uint32 hash.
+
+    Murmur3-style finalizer per word, combined with rotation - plays the
+    role of the reference's XXH3 KmerHash (src/sequence/kmer_plus.h:31).
+    """
+    h = jnp.zeros(keys.shape[:-1], dtype=U32)
+    for i in range(keys.shape[-1]):
+        x = keys[..., i]
+        x = x * U32(0xCC9E2D51)
+        x = (x << U32(15)) | (x >> U32(17))
+        x = x * U32(0x1B873593)
+        h = h ^ x
+        h = (h << U32(13)) | (h >> U32(19))
+        h = h * U32(5) + U32(0xE6546B64)
+    h = h ^ (h >> U32(16))
+    h = h * U32(0x85EBCA6B)
+    h = h ^ (h >> U32(13))
+    h = h * U32(0xC2B2AE35)
+    h = h ^ (h >> U32(16))
+    return h
+
+
+def _route_to_buffer(keys, valid, n_dev: int, capacity: int):
+    """Scatter (B, W) keys into an (n_dev, capacity, W) send buffer by
+    hash-owner, sentinel-filled. Returns (buffer, n_overflowed)."""
+    b, w = keys.shape
+    dst = (kmer_hash(keys) % U32(n_dev)).astype(jnp.int32)
+    dst = jnp.where(valid, dst, n_dev)  # invalid rows route nowhere
+
+    # rank of each row within its destination group
+    order = jnp.argsort(dst, stable=True)
+    sdst = dst[order]
+    idx = jnp.arange(b, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones(1, bool), sdst[1:] != sdst[:-1]])
+    group_start = jnp.where(head, idx, 0)
+    group_start = jax.lax.associative_scan(jnp.maximum, group_start)
+    rank_sorted = idx - group_start
+    rank = jnp.zeros(b, jnp.int32).at[order].set(rank_sorted)
+
+    ok = (dst < n_dev) & (rank < capacity)
+    n_overflow = jnp.sum((dst < n_dev) & (rank >= capacity))
+    flat_pos = jnp.where(ok, dst * capacity + rank, n_dev * capacity)
+    buf = jnp.full((n_dev * capacity + 1, w), 0xFFFFFFFF, dtype=U32)
+    buf = buf.at[flat_pos].set(keys, mode="drop")
+    return buf[:-1].reshape(n_dev, capacity, w), n_overflow
+
+
+def _count_local(keys, valid):
+    """Sort local keys and run-length count. Returns
+    (sorted keys, counts on head rows, head mask)."""
+    w = keys.shape[-1]
+    sentinel = jnp.full_like(keys, 0xFFFFFFFF)
+    keys = jnp.where(valid[:, None], keys, sentinel)
+    skeys, svalid = kmerops.sort_keys_with_payload(keys, valid)
+    head, counts = kmerops.count_sorted_runs(skeys, svalid)
+    return skeys, counts, head
+
+
+def make_sharded_counter(mesh: Mesh, k1: int, axis: str = "shard",
+                         capacity_factor: float = 2.0):
+    """Build the jitted sharded count step over `mesh`.
+
+    Returns fn(packed, positions, valid) where positions/valid are
+    sharded (n*B,) arrays and packed is replicated; output arrays are
+    sharded (n*C',) with per-row (keys, counts, head, n_overflow).
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    def step(packed, positions, valid):
+        b = positions.shape[0]
+        capacity = max(16, int(np.ceil(b * capacity_factor / n_dev)))
+
+        def local(packed, positions, valid):
+            # shard_map bodies see the per-device block with a leading
+            # singleton for the sharded axis
+            pos = positions.reshape(-1)
+            val = valid.reshape(-1)
+            keys = kmerops.extract_kmers(packed, pos, k1)
+            canon, _ = kmerops.canonical_kmers(keys, k1)
+            buf, n_over = _route_to_buffer(canon, val, n_dev, capacity)
+            recv = jax.lax.all_to_all(
+                buf, axis, split_axis=0, concat_axis=0, tiled=False
+            )  # (n_dev, capacity, W): row i from device i
+            rk = recv.reshape(n_dev * capacity, -1)
+            rvalid = jnp.any(rk != U32(0xFFFFFFFF), axis=-1)
+            skeys, counts, head = _count_local(rk, rvalid)
+            n_over = jax.lax.psum(n_over, axis)
+            return (skeys[None], counts[None], head[None],
+                    jnp.full((1,), n_over, jnp.int32))
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+        return fn(packed, positions.reshape(n_dev, -1),
+                  valid.reshape(n_dev, -1))
+
+    return jax.jit(step)
+
+
+def sharded_count_kmers(
+    flat_codes: np.ndarray,
+    starts: np.ndarray,
+    k1: int,
+    min_count: int,
+    mesh: Mesh,
+    axis: str = "shard",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-chip canonical k-mer count; host-side wrapper.
+
+    Same contract as graph.counter.count_canonical_kmers but distributed
+    over `mesh`. Result keys are globally deduplicated (hash ownership)
+    and sorted on host after the gather.
+    """
+    from ..graph.counter import pack_flat, window_positions
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    positions = window_positions(starts, k1)
+    n = len(positions)
+    w = kmerops.words_per_kmer(k1)
+    if n == 0:
+        return np.zeros((0, w), np.uint32), np.zeros(0, np.int32)
+
+    # pad position count to a multiple of n_dev
+    npad = -(-n // n_dev) * n_dev
+    pos = np.zeros(npad, dtype=np.int32)
+    pos[:n] = positions
+    val = np.zeros(npad, dtype=bool)
+    val[:n] = True
+
+    packed = jnp.asarray(pack_flat(flat_codes))
+    shard = NamedSharding(mesh, P(axis))
+    posd = jax.device_put(jnp.asarray(pos), shard)
+    vald = jax.device_put(jnp.asarray(val), shard)
+
+    step = make_sharded_counter(mesh, k1, axis)
+    skeys, counts, head, n_over = step(packed, posd, vald)
+    assert int(np.asarray(n_over)[0]) == 0, (
+        "all_to_all capacity overflow; raise capacity_factor"
+    )
+    skeys = np.asarray(skeys)
+    counts = np.asarray(counts)
+    head = np.asarray(head)
+    keep = head & (counts >= min_count)
+    out_keys = skeys[keep]
+    out_counts = counts[keep].astype(np.int32)
+    order = np.lexsort(tuple(out_keys[:, i] for i in range(w - 1, -1, -1)))
+    return out_keys[order], out_counts[order]
