@@ -1,0 +1,159 @@
+"""Mercy k-mer rescue.
+
+Reference semantics (SeqToSdbg::GenMercyEdges, seq_to_sdbg.cpp:171-357):
+for every candidate read, each node position i (k-mer = read[i:i+k]) is
+flagged has_in if some solid edge ends with that k-mer (any c: c+kmer
+solid) and has_out if some solid edge starts with it (any c: kmer+c
+solid). Scanning left to right, a maximal run of positions between the
+latest in-only position `a` and the next position `b` carrying a flag,
+with status(b) = out-only, donates the read's (k+1)-mers at windows
+[a, b) as multiplicity-1 "mercy" edges - rescuing single-coverage gaps
+bridged by real reads.
+
+TPU redesign: instead of per-read binary searches with early-exit
+canonical tricks, all node k-mers of all reads are extracted densely
+(gather-free), the 8 neighbour-membership queries run as batched
+multi-word binary searches over the sorted solid-edge array, and the
+gap state machine becomes two prefix scans + a range paint on host.
+
+Deviation (documented): the reference pre-filters candidate reads using
+per-edge-occurrence prev/next-char tallies gathered during counting
+(kmer_counter.cpp:283-369). We scan all reads; the flag/gap logic is
+identical, so the emitted mercy set is the same superset the filter was
+approximating (the filter only skips reads that cannot produce gaps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmerops
+from ..utils.log import get_logger
+from .counter import pack_flat, window_valid_mask
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k1"))
+def _neighbor_flags(packed, solid_keys, k, k1):
+    """has_in/has_out for the k-mer at every base offset of `packed`."""
+    kmers = kmerops.extract_all_kmers(packed, k)
+    q = kmers.shape[0]
+    has_in = jnp.zeros(q, dtype=bool)
+    has_out = jnp.zeros(q, dtype=bool)
+    for c in range(4):
+        q_in, _ = kmerops.canonical_kmers(
+            kmerops.prepend_base(kmers, c, k1), k1
+        )
+        q_out, _ = kmerops.canonical_kmers(
+            kmerops.mask_tail(kmerops.set_base(kmers, k, c), k1), k1
+        )
+        _, f_in = kmerops.searchsorted_keys(solid_keys, q_in)
+        _, f_out = kmerops.searchsorted_keys(solid_keys, q_out)
+        has_in = has_in | f_in
+        has_out = has_out | f_out
+    return has_in, has_out
+
+
+def find_mercy_edges(
+    flat_codes: np.ndarray,
+    starts: np.ndarray,
+    solid_keys: np.ndarray,
+    k1: int,
+    chunk_bases: int = 1 << 22,
+) -> np.ndarray:
+    """Return (M, W) canonical mercy (k1)-mers (deduplicated).
+
+    flat_codes/starts: the read pool. solid_keys: sorted canonical
+    solid (k1)-mers. k1 = edge length = megahit k + 1.
+    """
+    log = get_logger()
+    k = k1 - 1
+    w = kmerops.words_per_kmer(k1)
+    n_bases = int(starts[-1])
+    if n_bases < k1 or len(solid_keys) == 0:
+        return np.zeros((0, w), dtype=np.uint32)
+
+    packed_np = pack_flat(flat_codes)
+    packed_np = np.concatenate([packed_np, np.zeros(w + 1, dtype=np.uint32)])
+    packed = jnp.asarray(packed_np)
+    solid = jnp.asarray(solid_keys)
+
+    # dense has_in / has_out over every base offset, chunked
+    n_dense = (len(packed_np) - w) * 16
+    has_in = np.zeros(n_bases, dtype=bool)
+    has_out = np.zeros(n_bases, dtype=bool)
+    for lo in range(0, n_bases, chunk_bases):
+        hi = min(n_dense, lo + chunk_bases)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        hi_c, ho_c = _neighbor_flags(sub, solid, k, k1)
+        hi_c = np.asarray(hi_c)
+        ho_c = np.asarray(ho_c)
+        span = min(len(hi_c), n_bases - lo)
+        has_in[lo : lo + span] = hi_c[:span]
+        has_out[lo : lo + span] = ho_c[:span]
+        if hi >= n_dense:
+            break
+
+    # positions whose k-window crosses a read boundary act as hard
+    # resets (status "both"), so one global scan handles all reads
+    valid_k = window_valid_mask(starts, k, n_bases)
+    status = has_in.astype(np.int8) | (has_out.astype(np.int8) << 1)
+    status[~valid_k] = 3
+
+    # the latest in-only position at or before i, cancelled by any
+    # later stop (status 2 or 3)
+    idx = np.arange(n_bases, dtype=np.int64)
+    one_pos = np.where(status == 1, idx, -1)
+    stop_pos = np.where(status >= 2, idx, -1)
+    prev_one = np.maximum.accumulate(one_pos)
+    prev_stop = np.maximum.accumulate(stop_pos)
+
+    b_list = np.flatnonzero(status == 2)
+    if len(b_list) == 0:
+        return np.zeros((0, w), dtype=np.uint32)
+    a_list = prev_one[b_list]
+    # live gap: an in-only position after the last stop before b
+    live = (a_list >= 0) & (a_list > prev_stop[np.maximum(b_list - 1, 0)])
+    # b at index 0 can't have a predecessor
+    live &= b_list > 0
+    a_list, b_list = a_list[live], b_list[live]
+    if len(a_list) == 0:
+        return np.zeros((0, w), dtype=np.uint32)
+
+    delta = np.zeros(n_bases + 1, dtype=np.int32)
+    np.add.at(delta, a_list, 1)
+    np.add.at(delta, b_list, -1)
+    mercy_mask = np.cumsum(delta[:-1]) > 0
+    # a mercy window must itself be a full (k1)-window of its read
+    mercy_mask &= window_valid_mask(starts, k1, n_bases)
+    n_mercy_windows = int(mercy_mask.sum())
+    if n_mercy_windows == 0:
+        return np.zeros((0, w), dtype=np.uint32)
+
+    # gather + canonicalize the mercy (k1)-mers
+    out = []
+    for lo in range(0, n_bases, chunk_bases):
+        hi = min(n_dense, lo + chunk_bases)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        keys = kmerops.extract_all_kmers(sub, k1)
+        canon, _ = kmerops.canonical_kmers(keys, k1)
+        canon = np.asarray(canon)
+        span = min(len(canon), n_bases - lo)
+        mm = mercy_mask[lo : lo + span]
+        out.append(canon[:span][mm])
+        if hi >= n_dense:
+            break
+    mercy = np.concatenate(out, axis=0)
+    mercy = np.unique(mercy, axis=0)
+    log.info(
+        "mercy: %d gap windows -> %d distinct mercy edges",
+        n_mercy_windows, len(mercy),
+    )
+    return mercy

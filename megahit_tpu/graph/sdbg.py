@@ -84,9 +84,11 @@ class Sdbg:
 
 def seq_window_table(starts: np.ndarray, k: int) -> tuple[np.ndarray, ...]:
     """Positions, seq ids and in-seq offsets of all k-windows of seqs with
-    length >= k+1 (the reference skips shorter seqs, seq_to_sdbg.cpp:539)."""
+    length >= k (the reference skips seqs shorter than one edge,
+    seq_to_sdbg.cpp:537-539 `seq_len < opt_.k + 1` with their k = our
+    k - 1: our window length k equals their edge length k+1)."""
     lengths = np.diff(starts)
-    n_win = np.where(lengths >= k + 1, lengths - k + 1, 0).astype(np.int64)
+    n_win = np.where(lengths >= k, lengths - k + 1, 0).astype(np.int64)
     total = int(n_win.sum())
     pos = np.empty(total, dtype=np.int32)
     sid = np.empty(total, dtype=np.int32)
@@ -155,20 +157,25 @@ def build_sdbg(
     k: int,
     batch_windows: int = 1 << 21,
 ) -> Sdbg:
-    """Build the graph at parameter k from a pool of sequences with
+    """Build the graph with edge length k from a pool of sequences with
     per-sequence multiplicities.
 
+    NOTE on parameters: this k is the EDGE length = the reference's
+    k + 1 (reference nodes are k-mers, edges (k+1)-mers). Callers
+    assembling "at megahit k" pass k + 1 here.
+
     Edges = distinct k-windows of the sequences (both strands).
-    Multiplicity contribution rule matches seq_to_sdbg.cpp:640-643:
-    a window contributes its sequence's multiplicity unless it sits at
-    offset 0 of the traversal strand; dedup takes the max contribution.
+    Every window contributes its sequence's multiplicity; dedup takes
+    the max contribution. (Reference seq_to_sdbg.cpp:640-643 attaches
+    `counting` to node items with node offset in (0, L-k]; every real
+    edge's item satisfies that - only the dummy-$ boundary items are
+    excluded, and we have no dummy items.)
 
     This replaces the reference `seq2sdbg` CX1 sort + BWT emission
     (src/sorting/seq_to_sdbg.cpp:630-789) with: funnel-shift window
     extraction -> device lexicographic sort -> segment-max dedup ->
     batched binary-search neighbour tables.
     """
-    log = get_logger()
     w = kmerops.words_per_kmer(k)
     pos, sid, off, n_win = seq_window_table(starts, k)
     n = len(pos)
@@ -180,11 +187,8 @@ def build_sdbg(
 
     packed = jnp.asarray(pack_flat(flat_codes))
     seq_mults = np.asarray(seq_mults, dtype=np.int32)
-    lengths = np.diff(starts).astype(np.int32)
-    last_off = (lengths - k)[sid]  # per-window: L - k of its seq
-    m = seq_mults[sid]
-    mult_fwd = np.where(off > 0, m, 0).astype(np.int32)
-    mult_rc = np.where(off < last_off, m, 0).astype(np.int32)
+    mult_fwd = seq_mults[sid]
+    mult_rc = mult_fwd
 
     chunks_k, chunks_m = [], []
     for lo in range(0, n, batch_windows):
@@ -206,8 +210,37 @@ def build_sdbg(
         chunks_m.append(mm[sel])
     keys = np.concatenate(chunks_k, axis=0)
     mults = np.concatenate(chunks_m, axis=0)
+    return _finalize_sdbg(keys, mults, k, n_windows=n)
 
-    total = 2 * n
+
+def sdbg_from_edges(
+    edge_keys: np.ndarray, edge_mults: np.ndarray, k: int
+) -> Sdbg:
+    """Build the graph directly from canonical edge k-mers + counts
+    (the k_min path: solid edges from the counter and mercy edges feed
+    straight in - the reference's seq2sdbg with --input_prefix,
+    src/sorting/seq_to_sdbg.cpp:428-467, minus the re-sort)."""
+    keys = np.asarray(edge_keys, dtype=np.uint32)
+    n = len(keys)
+    w = kmerops.words_per_kmer(k)
+    if n == 0:
+        z4 = np.zeros((0, 4), dtype=np.int32)
+        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
+                    z4.copy(), np.zeros(0, bool))
+    rc = np.asarray(kmerops.revcomp_kmers(jnp.asarray(keys), k))
+    both = np.concatenate([keys, rc], axis=0)
+    mults = np.concatenate([edge_mults, edge_mults]).astype(np.int32)
+    return _finalize_sdbg(both, mults, k, n_windows=n)
+
+
+def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
+                   n_windows: int) -> Sdbg:
+    """Sort + dedup-max + neighbour tables over a raw (strand-closed)
+    edge multiset."""
+    log = get_logger()
+    w = kmerops.words_per_kmer(k)
+    total = len(keys)
     npad = _pow2_pad(total)
     if npad > total:
         keys = np.concatenate(
@@ -259,7 +292,7 @@ def build_sdbg(
         ic_s=trim(ic_s),
         valid=np.ones(e, dtype=bool),
     )
-    log.debug("sdbg k=%d: %d windows -> %d edges", k, n, e)
+    log.debug("sdbg k=%d: %d windows -> %d edges", k, n_windows, e)
     return sdbg
 
 
