@@ -1,0 +1,173 @@
+"""megahit_tpu command line: MEGAHIT-compatible flags.
+
+Usage mirrors the reference driver (src/megahit:38-104):
+  python -m megahit_tpu -1 a_1.fq -2 a_2.fq -r se.fa -o out
+  python -m megahit_tpu --12 interleaved.fa.gz -o out --k-list 21,41,61
+  python -m megahit_tpu --test
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="megahit_tpu",
+        description="TPU-native metagenome assembler "
+        "(capabilities of MEGAHIT)",
+    )
+    g = p.add_argument_group("input options")
+    g.add_argument("-1", dest="pe1", action="append", default=[],
+                   help="comma-separated fasta/q paired-end #1 files")
+    g.add_argument("-2", dest="pe2", action="append", default=[],
+                   help="comma-separated fasta/q paired-end #2 files")
+    g.add_argument("--12", dest="pe12", action="append", default=[],
+                   help="comma-separated interleaved fasta/q files")
+    g.add_argument("-r", "--read", dest="se", action="append", default=[],
+                   help="comma-separated single-end fasta/q files")
+
+    o = p.add_argument_group("output options")
+    o.add_argument("-o", "--out-dir", default="./megahit_out")
+    o.add_argument("--out-prefix", default="")
+    o.add_argument("--min-contig-len", type=int, default=200)
+    o.add_argument("--keep-tmp-files", action="store_true")
+
+    a = p.add_argument_group("assembly options")
+    a.add_argument("--presets", choices=["meta-sensitive", "meta-large"])
+    a.add_argument("--k-list", default=None,
+                   help="comma-separated odd k values")
+    a.add_argument("--k-min", type=int, default=-1)
+    a.add_argument("--k-max", type=int, default=-1)
+    a.add_argument("--k-step", type=int, default=-1)
+    a.add_argument("--min-count", type=int, default=2)
+    a.add_argument("--no-mercy", action="store_true")
+    a.add_argument("--no-local", action="store_true")
+    a.add_argument("--kmin-1pass", action="store_true")
+    a.add_argument("--prune-level", type=int, default=2)
+    a.add_argument("--prune-depth", type=float, default=2)
+    a.add_argument("--bubble-level", type=int, default=2)
+    a.add_argument("--merge-level", default="20,0.95",
+                   help="l,s for complex bubble merging")
+    a.add_argument("--disconnect-ratio", type=float, default=0.1)
+    a.add_argument("--low-local-ratio", type=float, default=0.2)
+    a.add_argument("--cleaning-rounds", type=int, default=5)
+    a.add_argument("--max-tip-len", type=int, default=-1)
+
+    p.add_argument("--continue", dest="continue_mode", action="store_true",
+                   help="resume from the last checkpoint in -o")
+    p.add_argument("--test", dest="test_mode", action="store_true",
+                   help="run on a small generated test dataset")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                   default="auto",
+                   help="JAX backend: auto keeps the environment default; "
+                   "cpu forces host execution (small inputs / remote-"
+                   "tunneled TPUs pay per-op RTT otherwise)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _split(vals: list[str]) -> list[str]:
+    out: list[str] = []
+    for v in vals:
+        out.extend(x for x in v.split(",") if x)
+    return out
+
+
+def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
+    """Generate a deterministic toy dataset (the analogue of the
+    reference's bundled test_data, src/megahit:582-587)."""
+    import gzip
+
+    import numpy as np
+
+    from megahit_tpu.core import packing
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(20240801)
+    genome = rng.integers(0, 4, size=6000).astype(np.uint8)
+    p1 = os.path.join(out_dir, "test_r1.fa.gz")
+    p2 = os.path.join(out_dir, "test_r2.fa.gz")
+    insert, rl = 300, 100
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        for i, s in enumerate(range(0, len(genome) - insert, 3)):
+            frag = genome[s : s + insert]
+            r1 = frag[:rl]
+            r2 = packing.revcomp_codes(frag[-rl:])
+            f1.write(f">r{i}/1\n{packing.decode(r1)}\n")
+            f2.write(f">r{i}/2\n{packing.decode(r2)}\n")
+    return [p1], [p2]
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+
+    if args.platform != "auto" or args.test_mode:
+        import jax
+
+        jax.config.update(
+            "jax_platforms",
+            args.platform if args.platform != "auto" else "cpu",
+        )
+
+    from megahit_tpu.pipeline.driver import Pipeline
+    from megahit_tpu.pipeline.options import Options
+    from megahit_tpu.utils.log import setup_logging
+
+    opt = Options(
+        pe1=_split(args.pe1), pe2=_split(args.pe2),
+        pe12=_split(args.pe12), se=_split(args.se),
+        out_dir=args.out_dir, out_prefix=args.out_prefix,
+        min_contig_len=args.min_contig_len,
+        min_count=args.min_count,
+        no_mercy=args.no_mercy, no_local=args.no_local,
+        kmin_1pass=args.kmin_1pass,
+        prune_level=args.prune_level, prune_depth=args.prune_depth,
+        bubble_level=args.bubble_level,
+        disconnect_ratio=args.disconnect_ratio,
+        low_local_ratio=args.low_local_ratio,
+        cleaning_rounds=args.cleaning_rounds,
+        max_tip_len=args.max_tip_len,
+        keep_tmp_files=args.keep_tmp_files,
+        test_mode=args.test_mode,
+        continue_mode=args.continue_mode,
+        verbose=args.verbose,
+        k_min=args.k_min, k_max=args.k_max, k_step=args.k_step,
+    )
+    if args.presets:
+        opt.apply_preset(args.presets)
+    if args.k_list:
+        opt.k_list = [int(x) for x in args.k_list.split(",")]
+        opt.auto_k = False
+    ml = args.merge_level.split(",")
+    opt.merge_len, opt.merge_similar = int(ml[0]), float(ml[1])
+
+    if args.test_mode:
+        opt.pe1, opt.pe2 = make_test_data(
+            os.path.join(args.out_dir, "test_data")
+        )
+        if args.k_list is None:
+            opt.k_list = [21, 39, 59, 79]
+            opt.auto_k = False
+
+    os.makedirs(opt.out_dir, exist_ok=True)
+    setup_logging(
+        os.path.join(opt.out_dir, "log"),
+        verbose=opt.verbose,
+    )
+    try:
+        opt.validate()
+        for path in opt.pe1 + opt.pe2 + opt.pe12 + opt.se:
+            if not os.path.exists(path):
+                raise ValueError(f"input file not found: {path}")
+        Pipeline(opt).run()
+    except ValueError as e:
+        print(f"megahit_tpu: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,350 @@
+"""The checkpointed multi-k assembly pipeline.
+
+Re-expression of the reference Python driver (src/megahit:969-1033 main,
+:996-1019 pipeline loop, :250-280 Checkpoint): build read lib -> k_min
+graph (solid + mercy edges) -> assemble -> for each next k: [local
+assembly] -> iterate junction edges -> build graph from contigs+edges ->
+assemble -> merge final contigs. Stage artifacts live in
+out/tmp/k{K}/ as MEGAHIT-compatible FASTA files so runs are resumable
+(`--continue`) at stage granularity, like the reference's
+checkpoints.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+
+from ..core import packing
+from ..graph import iterate as it
+from ..graph.counter import count_canonical_kmers
+from ..graph.mercy import find_mercy_edges
+from ..graph.sdbg import build_sdbg, sdbg_from_edges
+from ..io.contig_io import ContigRecord, read_contigs, write_contigs
+from ..io.lib import SequenceLib, build_lib
+from ..pipeline.assemble import AssembleOptions, assemble
+from ..pipeline.options import Options
+from ..utils.log import get_logger
+
+
+class EarlyTerminate(Exception):
+    def __init__(self, k):
+        self.k = k
+
+
+class Checkpoint:
+    """Stage counter persisted as "<n> done" lines
+    (reference src/megahit:250-280)."""
+
+    def __init__(self, path: str, resume: bool):
+        self.path = path
+        self.idx = 0
+        self.done_upto = -1
+        if resume and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) == 2 and parts[1] == "done":
+                        self.done_upto = max(self.done_upto, int(parts[0]))
+
+    def run(self, fn, *args, **kwargs):
+        idx = self.idx
+        self.idx += 1
+        if idx <= self.done_upto:
+            get_logger().info("skipping checkpointed stage %d (%s)",
+                              idx, fn.__name__)
+            return None
+        out = fn(*args, **kwargs)
+        with open(self.path, "a") as fh:
+            fh.write(f"{idx} done\n")
+        return out
+
+
+class Pipeline:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.log = get_logger()
+        self.out_dir = opt.out_dir
+        self.tmp_dir = os.path.join(opt.out_dir, "tmp")
+        self.contig_dir = os.path.join(opt.out_dir, "intermediate_contigs")
+        self.lib: SequenceLib | None = None
+
+    # ---------------- paths
+
+    def graph_prefix(self, k: int) -> str:
+        d = os.path.join(self.tmp_dir, f"k{k}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"k{k}")
+
+    def contig_prefix(self, k: int) -> str:
+        os.makedirs(self.contig_dir, exist_ok=True)
+        return os.path.join(self.contig_dir, f"k{k}")
+
+    @property
+    def lib_path(self) -> str:
+        return os.path.join(self.out_dir, "reads.lib.npz")
+
+    # ---------------- stages
+
+    def stage_build_lib(self) -> None:
+        o = self.opt
+        lib = build_lib(o.pe1, o.pe2, o.pe12, o.se)
+        lib.save(self.lib_path)
+        self.log.info(
+            "read lib: %d seqs, %d bases, max len %d",
+            lib.num_seqs, lib.num_bases, lib.max_len,
+        )
+
+    def _load_lib(self) -> SequenceLib:
+        if self.lib is None:
+            self.lib = SequenceLib.load(self.lib_path)
+        return self.lib
+
+    def stage_first_graph(self) -> None:
+        """count + mercy + graph at k_min (reference build_first_graph,
+        src/megahit:789-802; both the 2-pass and 1-pass flavours reduce
+        to this on-device path)."""
+        o = self.opt
+        lib = self._load_lib()
+        k1 = o.k_min + 1
+        keys, counts = count_canonical_kmers(
+            lib.flat_codes, lib.starts, k1, o.min_count
+        )
+        self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
+        if not o.no_mercy:
+            mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys, k1)
+            if len(mercy):
+                keys = np.concatenate([keys, mercy], axis=0)
+                counts = np.concatenate(
+                    [counts, np.ones(len(mercy), np.int32)]
+                )
+        np.savez_compressed(
+            self.graph_prefix(o.k_min) + ".edges.npz",
+            keys=keys, counts=counts,
+        )
+
+    def stage_assemble(self, k: int) -> None:
+        """Load the k graph inputs, assemble, write contig files
+        (reference assemble(), src/megahit:866-903)."""
+        o = self.opt
+        sdbg = self._build_sdbg_for_k(k)
+        if sdbg.size == 0:
+            self.log.warning("k=%d: empty graph", k)
+        min_standalone = max(
+            min(o.k_max * 3 - 1, int(o.min_contig_len * 1.5)),
+            o.min_contig_len,
+        )
+        if o.max_tip_len >= 0:
+            min_standalone = max(
+                o.max_tip_len + o.k_max - 1, o.min_contig_len
+            )
+        aopt = AssembleOptions(
+            min_standalone=min_standalone,
+            prune_level=o.prune_level,
+            merge_len=int(o.merge_len),
+            merge_similar=o.merge_similar,
+            cleaning_rounds=o.cleaning_rounds,
+            disconnect_ratio=o.disconnect_ratio,
+            low_local_ratio=o.low_local_ratio,
+            min_depth=o.prune_depth,
+            bubble_level=o.bubble_level,
+            is_final_round=(k == o.k_max),
+            careful_bubble=(k < o.k_max),
+            output_standalone=o.no_local,
+        )
+        if o.max_tip_len == -1 and k * 3 - 1 > o.min_contig_len * 1.5:
+            aopt.max_tip_len = max(1, int(o.min_contig_len * 1.5 + 1 - k))
+        else:
+            aopt.max_tip_len = o.max_tip_len
+        res = assemble(sdbg, aopt)
+        cp = self.contig_prefix(k)
+        write_contigs(cp + ".contigs.fa", res.contigs)
+        write_contigs(cp + ".final.contigs.fa", res.final_contigs)
+        write_contigs(cp + ".addi.fa", res.addi_contigs)
+        write_contigs(cp + ".bubble_seq.fa", res.bubbles)
+
+    def _build_sdbg_for_k(self, k: int):
+        """Union the k-graph inputs (reference seq2sdbg Initialize,
+        seq_to_sdbg.cpp:359-528): edge files + contigs + bubble + addi +
+        local from the previous k."""
+        o = self.opt
+        km = k + 1  # edge length
+        seqs: list[np.ndarray] = []
+        mults: list[float] = []
+
+        prefix = self.graph_prefix(k)
+        edge_file = prefix + ".edges.npz"
+        edge_keys = edge_counts = None
+        n_edge_inputs = 0
+        if os.path.exists(edge_file):
+            z = np.load(edge_file)
+            edge_keys, edge_counts = z["keys"], z["counts"]
+            n_edge_inputs = len(edge_keys)
+
+        k_from = self._prev_k(k)
+        if k_from is not None:
+            cp = self.contig_prefix(k_from)
+            for name, extend in (
+                (".contigs.fa", True), (".bubble_seq.fa", False),
+                (".addi.fa", False), (".local.fa", False),
+            ):
+                path = cp + name
+                if not os.path.exists(path):
+                    continue
+                recs = read_contigs(
+                    path, min_len=km,
+                    extend_loop_k=(k_from, k) if extend else None,
+                )
+                for r in recs:
+                    seqs.append(r.codes)
+                    mults.append(max(1.0, r.multi))
+            if n_edge_inputs == 0 and not seqs:
+                raise EarlyTerminate(k_from)
+
+        if seqs:
+            flat, starts = packing.pack_many(seqs)
+            sdbg = build_sdbg(
+                flat, starts,
+                np.round(np.asarray(mults)).astype(np.int32), km,
+            )
+            if edge_keys is not None and len(edge_keys):
+                # merge edge inputs into the window-derived edge set by
+                # rebuilding from the union of both edge multisets
+                from ..graph.sdbg import _finalize_sdbg
+                import jax.numpy as jnp
+                from ..core import kmerops
+
+                rc = np.asarray(
+                    kmerops.revcomp_kmers(jnp.asarray(edge_keys), km)
+                )
+                all_keys = np.concatenate(
+                    [sdbg.keys[sdbg.valid], edge_keys, rc], axis=0
+                )
+                all_mults = np.concatenate([
+                    sdbg.mult[sdbg.valid], edge_counts, edge_counts,
+                ]).astype(np.int32)
+                sdbg = _finalize_sdbg(all_keys, all_mults, km,
+                                      n_windows=len(all_keys))
+            return sdbg
+        if edge_keys is not None:
+            return sdbg_from_edges(edge_keys, edge_counts, km)
+        return sdbg_from_edges(
+            np.zeros((0, 1), np.uint32), np.zeros(0, np.int32), km
+        )
+
+    def _prev_k(self, k: int) -> int | None:
+        ks = self.opt.k_list
+        i = ks.index(k)
+        return ks[i - 1] if i > 0 else None
+
+    def stage_iterate(self, cur_k: int, next_k: int) -> None:
+        """Junction edge seeding (reference iterate(),
+        src/megahit:850-862)."""
+        step = next_k - cur_k
+        lib = self._load_lib()
+        cp = self.contig_prefix(cur_k)
+        contigs: list[np.ndarray] = []
+        muls: list[float] = []
+        for name in (".contigs.fa", ".bubble_seq.fa"):
+            if os.path.exists(cp + name):
+                for r in read_contigs(cp + name):
+                    contigs.append(r.codes)
+                    muls.append(max(1.0, r.multi))
+        index = it.build_flank_index(contigs, muls, cur_k, step)
+        keys, counts = it.find_next_kmers(
+            lib.flat_codes, lib.starts, index
+        )
+        np.savez_compressed(
+            self.graph_prefix(next_k) + ".edges.npz",
+            keys=keys, counts=counts,
+        )
+
+    def stage_local(self, cur_k: int, next_k: int) -> None:
+        """Paired-end local assembly (reference local_assemble(),
+        src/megahit:906-914)."""
+        from ..localasm.local_assemble import run_local_assembly
+
+        lib = self._load_lib()
+        cp = self.contig_prefix(cur_k)
+        contigs = read_contigs(cp + ".contigs.fa") \
+            if os.path.exists(cp + ".contigs.fa") else []
+        out = run_local_assembly(lib, contigs, local_kmax=next_k)
+        write_contigs(cp + ".local.fa", out)
+
+    def stage_merge_final(self, final_k: int) -> None:
+        """cat *.final.contigs.fa + k_max contigs, filter by length
+        (reference merge_final, src/megahit:917-936)."""
+        o = self.opt
+        name = "final.contigs.fa" if not o.out_prefix else \
+            o.out_prefix + ".contigs.fa"
+        out_path = os.path.join(self.out_dir, name)
+        merged: list[ContigRecord] = []
+        for k in o.k_list:
+            p = self.contig_prefix(k) + ".final.contigs.fa"
+            if os.path.exists(p):
+                merged.extend(read_contigs(p))
+        last = self.contig_prefix(final_k) + ".contigs.fa"
+        if os.path.exists(last):
+            merged.extend(read_contigs(last))
+        merged = [c for c in merged if c.length >= o.min_contig_len]
+        write_contigs(out_path, merged)
+        lengths = np.array([c.length for c in merged], dtype=np.int64)
+        from ..graph.output import contig_stats
+
+        st = contig_stats(lengths)
+        self.log.info(
+            "%d contigs, total %d bp, min %d bp, max %d bp, avg %d bp, "
+            "N50 %d bp",
+            st["n"], st["total"], st["min"], st["max"], st["avg"],
+            st["n50"],
+        )
+
+    # ---------------- main
+
+    def run(self) -> None:
+        o = self.opt
+        t0 = time.time()
+        os.makedirs(self.out_dir, exist_ok=True)
+        opt_path = os.path.join(self.out_dir, "options.json")
+        if o.continue_mode and os.path.exists(opt_path):
+            saved = Options.load(opt_path)
+            saved.continue_mode = True
+            self.opt = o = saved
+        else:
+            o.save(opt_path)
+        cp = Checkpoint(
+            os.path.join(self.out_dir, "checkpoints.txt"),
+            resume=o.continue_mode,
+        )
+
+        cp.run(self.stage_build_lib)
+        max_len = self._load_lib().max_len
+        if o.drop_large_k(max_len):
+            self.log.info("k-max reset to %d (max read len %d)",
+                          o.k_max, max_len)
+        self.log.info("k list: %s", ",".join(map(str, o.k_list)))
+
+        cp.run(self.stage_first_graph)
+        cp.run(self.stage_assemble, o.k_min)
+
+        cur_k = o.k_min
+        final_k = o.k_max
+        try:
+            for next_k in o.k_list[1:]:
+                if not o.no_local:
+                    cp.run(self.stage_local, cur_k, next_k)
+                cp.run(self.stage_iterate, cur_k, next_k)
+                cp.run(self.stage_assemble, next_k)
+                cur_k = next_k
+        except EarlyTerminate as et:
+            self.log.info("early termination at k=%d", et.k)
+            final_k = et.k
+        cp.run(self.stage_merge_final, final_k)
+
+        if not o.keep_tmp_files and os.path.exists(self.tmp_dir):
+            shutil.rmtree(self.tmp_dir)
+        open(os.path.join(self.out_dir, "done"), "w").close()
+        self.log.info("ALL DONE. Time elapsed: %.1f s", time.time() - t0)

@@ -1,0 +1,100 @@
+"""End-to-end multi-k pipeline tests through the CLI surface."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from megahit_tpu.__main__ import main
+from megahit_tpu.core import packing
+from megahit_tpu.io.contig_io import read_contigs
+
+RNG = np.random.default_rng(1234)
+
+
+def write_pe(genome, out_dir, name, insert=250, rl=100, stride=2):
+    p1 = os.path.join(out_dir, f"{name}_1.fa.gz")
+    p2 = os.path.join(out_dir, f"{name}_2.fa.gz")
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        for i, s in enumerate(range(0, len(genome) - insert + 1, stride)):
+            frag = genome[s : s + insert]
+            f1.write(f">{name}{i}/1\n{packing.decode(frag[:rl])}\n")
+            f2.write(
+                f">{name}{i}/2\n"
+                f"{packing.decode(packing.revcomp_codes(frag[-rl:]))}\n"
+            )
+    return p1, p2
+
+
+def canon(codes):
+    a = packing.decode(codes)
+    b = packing.decode(packing.revcomp_codes(codes))
+    return min(a, b)
+
+
+def test_repeat_resolved_by_higher_k(tmp_path):
+    # two genomes share a 30 bp repeat: branches at k=21 (22-mers can't
+    # span it), resolved at k=39 via junction-spanning iterate edges
+    repeat = RNG.integers(0, 4, size=30).astype(np.uint8)
+    a1 = RNG.integers(0, 4, size=800).astype(np.uint8)
+    a2 = RNG.integers(0, 4, size=800).astype(np.uint8)
+    b1 = RNG.integers(0, 4, size=800).astype(np.uint8)
+    b2 = RNG.integers(0, 4, size=800).astype(np.uint8)
+    g1 = np.concatenate([a1, repeat, a2])
+    g2 = np.concatenate([b1, repeat, b2])
+    p1a, p2a = write_pe(g1, str(tmp_path), "a")
+    p1b, p2b = write_pe(g2, str(tmp_path), "b")
+    out = str(tmp_path / "out")
+    rc = main([
+        "-1", f"{p1a},{p1b}", "-2", f"{p2a},{p2b}", "-o", out,
+        "--k-list", "21,39", "--no-local", "--keep-tmp-files",
+        "--min-contig-len", "300",
+    ])
+    assert rc == 0
+    finals = read_contigs(os.path.join(out, "final.contigs.fa"))
+    # both genomes must be recovered as one contig each; the terminal
+    # 2 bases of each genome have k-mer coverage 1 (< min_count) so the
+    # assembler correctly trims them
+    assert len(finals) == 2, [c.length for c in finals]
+    gs1, gs2 = packing.decode(g1), packing.decode(g2)
+    hits = set()
+    for c in finals:
+        assert c.length >= len(g1) - 4
+        s = packing.decode(c.codes)
+        rc = packing.decode(packing.revcomp_codes(c.codes))
+        for name, g in (("g1", gs1), ("g2", gs2)):
+            if s in g or rc in g:
+                hits.add(name)
+    assert hits == {"g1", "g2"}
+
+
+def test_continue_resumes(tmp_path):
+    genome = RNG.integers(0, 4, size=1500).astype(np.uint8)
+    p1, p2 = write_pe(genome, str(tmp_path), "g")
+    out = str(tmp_path / "out")
+    args = ["-1", p1, "-2", p2, "-o", out, "--k-list", "21,29",
+            "--no-local", "--keep-tmp-files"]
+    assert main(args) == 0
+    ck = os.path.join(out, "checkpoints.txt")
+    n_stages = sum(1 for _ in open(ck))
+    finals0 = read_contigs(os.path.join(out, "final.contigs.fa"))
+    # resume: all stages skipped, output unchanged
+    os.remove(os.path.join(out, "final.contigs.fa"))
+    # drop the final checkpoint so merge_final reruns
+    lines = open(ck).read().splitlines()
+    with open(ck, "w") as fh:
+        fh.write("\n".join(lines[:-1]) + "\n")
+    assert main(args + ["--continue"]) == 0
+    finals1 = read_contigs(os.path.join(out, "final.contigs.fa"))
+    assert [canon(c.codes) for c in finals1] == \
+        [canon(c.codes) for c in finals0]
+    assert sum(1 for _ in open(ck)) == n_stages
+
+
+def test_test_mode(tmp_path):
+    out = str(tmp_path / "out")
+    assert main(["--test", "-o", out, "--no-local"]) == 0
+    assert os.path.exists(os.path.join(out, "done"))
+    finals = read_contigs(os.path.join(out, "final.contigs.fa"))
+    assert len(finals) == 1 and finals[0].length > 5900
