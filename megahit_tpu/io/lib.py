@@ -66,6 +66,34 @@ class SequenceLib:
         return cls(z["flat_codes"], z["starts"], ranges)
 
 
+def _interleave_flat(f1, s1, f2, s2):
+    """Interleave two sequence pools pairwise (r1_0, r2_0, r1_1, ...)
+    with vectorized index arithmetic - no per-read Python loop."""
+    n = min(len(s1), len(s2)) - 1
+    l1 = np.diff(s1[: n + 1])
+    l2 = np.diff(s2[: n + 1])
+    lens = np.empty(2 * n, dtype=np.int64)
+    lens[0::2] = l1
+    lens[1::2] = l2
+    starts = np.zeros(2 * n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    flat = np.empty(starts[-1], dtype=np.uint8)
+
+    def place(src, src_starts, src_lens, tgt_starts):
+        total = int(src_lens.sum())
+        if total == 0:
+            return
+        # dest = tgt_start_i + (pos - src_start_i); the pool is gapless
+        # so pos over all kept seqs is just arange(total)
+        dest = (np.repeat(tgt_starts - src_starts[:-1], src_lens)
+                + np.arange(total, dtype=np.int64))
+        flat[dest] = src[:total]
+
+    place(f1, s1[: n + 1], l1, starts[0:-1:2])
+    place(f2, s2[: n + 1], l2, starts[1::2])
+    return flat, starts
+
+
 def build_lib(
     pe1: list[str],
     pe2: list[str],
@@ -76,26 +104,42 @@ def build_lib(
 
     Order matches the reference driver's lib file generation
     (src/megahit:667-697): pe12 first, then pe1/pe2 pairs, then se.
+    All paths stay in flat pool form (native parser + vectorized
+    interleave; no per-read Python objects).
     """
-    seqs: list[np.ndarray] = []
+    from .fastx import read_fastx_flat
+
+    pools: list[tuple[np.ndarray, np.ndarray]] = []
     ranges: list[tuple[int, int, bool]] = []
+    n_seqs = 0
+
+    def push(flat, starts, paired):
+        nonlocal n_seqs
+        cnt = len(starts) - 1
+        pools.append((flat, starts))
+        ranges.append((n_seqs, n_seqs + cnt, paired))
+        n_seqs += cnt
 
     for path in pe12:
-        begin = len(seqs)
-        seqs.extend(read_fastx(path))
-        ranges.append((begin, len(seqs), True))
+        push(*read_fastx_flat(path), True)
 
     for p1, p2 in zip(pe1, pe2):
-        begin = len(seqs)
-        for a, b in zip(read_fastx(p1), read_fastx(p2)):
-            seqs.append(a)
-            seqs.append(b)
-        ranges.append((begin, len(seqs), True))
+        f1, s1 = read_fastx_flat(p1)
+        f2, s2 = read_fastx_flat(p2)
+        push(*_interleave_flat(f1, s1, f2, s2), True)
 
     for path in se:
-        begin = len(seqs)
-        seqs.extend(read_fastx(path))
-        ranges.append((begin, len(seqs), False))
+        push(*read_fastx_flat(path), False)
 
-    flat, starts = packing.pack_many(seqs)
+    if not pools:
+        return SequenceLib(np.zeros(0, np.uint8), np.zeros(1, np.int64), [])
+    flat = np.concatenate([p[0] for p in pools])
+    starts = np.zeros(n_seqs + 1, dtype=np.int64)
+    off_seq = 0
+    off_base = 0
+    for f, s in pools:
+        cnt = len(s) - 1
+        starts[off_seq + 1 : off_seq + cnt + 1] = s[1:] + off_base
+        off_seq += cnt
+        off_base += len(f)
     return SequenceLib(flat, starts, ranges)

@@ -1,0 +1,111 @@
+"""Native (C++) host-side cores, loaded via ctypes.
+
+Built on demand with g++ (no pybind11 in this environment); every
+native entry point has a pure-Python fallback so the package works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..utils.log import get_logger
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libfastxpack.so")
+_SRC = os.path.join(_DIR, "fastxpack.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing: fall back to Python
+        get_logger().debug("native build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None (Python fallback)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.fastx_parse.restype = ctypes.c_int64
+        lib.fastx_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pack_codes.restype = None
+        lib.pack_codes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        _lib = lib
+    except OSError as e:
+        get_logger().debug("native load failed: %s", e)
+    return _lib
+
+
+def parse_fastx_buffer_flat(
+    data: bytes, trim_n: bool = True
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Parse a decompressed FASTA/FASTQ buffer natively.
+
+    Returns (flat_codes uint8, starts int64 (S+1,)) - the pool form
+    every downstream consumer wants - or None if the native library is
+    unavailable/input malformed (caller falls back to Python).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not data:
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    n = len(data)
+    codes = np.empty(n, dtype=np.uint8)
+    max_seqs = data.count(b"\n") + 2
+    lens = np.empty(max_seqs, dtype=np.int64)
+    n_seqs = lib.fastx_parse(
+        data, n,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_seqs, 1 if trim_n else 0,
+    )
+    if n_seqs < 0:
+        return None  # malformed for the fast path; Python handles it
+    lens = lens[:n_seqs]
+    starts = np.zeros(n_seqs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    return codes[: starts[-1]].copy(), starts
+
+
+def parse_fastx_buffer(
+    data: bytes, trim_n: bool = True
+) -> list[np.ndarray] | None:
+    """List-of-arrays form of parse_fastx_buffer_flat (convenience)."""
+    out = parse_fastx_buffer_flat(data, trim_n)
+    if out is None:
+        return None
+    codes, starts = out
+    return [codes[starts[i] : starts[i + 1]]
+            for i in range(len(starts) - 1)]
