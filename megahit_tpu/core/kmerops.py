@@ -256,11 +256,13 @@ def sort_keys_with_payload(
 
     Returns (sorted_keys, *sorted_payloads). Uses lax.sort with W key
     operands (the TPU replacement for the reference's kmlib radix sort,
-    src/kmlib/kmsort.h).
+    src/kmlib/kmsort.h). Unstable: every consumer treats equal keys as
+    an unordered group (count/dedup-max/unique), and the unstable
+    lowering is ~40% faster on TPU.
     """
     w = keys.shape[-1]
     operands = tuple(keys[:, i] for i in range(w)) + tuple(payloads)
-    out = jax.lax.sort(operands, num_keys=w, is_stable=True)
+    out = jax.lax.sort(operands, num_keys=w, is_stable=False)
     sorted_keys = jnp.stack(out[:w], axis=-1)
     return (sorted_keys,) + tuple(out[w:])
 
@@ -322,6 +324,21 @@ def count_sorted_runs(
     counts = jnp.where(head, counts, 0)
     head = head & (counts > 0)
     return head, counts
+
+
+def keys_to_u64(keys: np.ndarray, k: int) -> np.ndarray:
+    """(N, W) keys with k <= 32 -> uint64 preserving lexicographic
+    order ((word0 << 32) | word1; word1 = 0 when W == 1).
+
+    Unlocks host-side np.searchsorted (a tight C binary search) for
+    membership tests - orders of magnitude cheaper than device
+    binary search with random gathers when the query side is huge.
+    """
+    assert k <= 32, "u64 fast path requires k <= 32"
+    keys = np.asarray(keys)
+    hi = keys[:, 0].astype(np.uint64) << np.uint64(32)
+    lo = keys[:, 1].astype(np.uint64) if keys.shape[1] > 1 else 0
+    return hi | lo
 
 
 def searchsorted_keys(

@@ -121,9 +121,11 @@ def count_canonical_kmers(
         size = min(hi_w + w + 1, len(packed_np)) - lo_w
         sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
         canon = np.asarray(_extract_canonical_dense(sub, k1))
-        vm = valid_all[lo : lo + len(canon)]
-        canon = canon[: len(vm)]
-        chunks.append(canon[vm])
+        # the word-aligned slice covers up to 15 offsets past `hi`;
+        # truncate to [lo, hi) so chunks never overlap
+        span = min(min(hi, n_bases) - lo, len(canon))
+        vm = valid_all[lo : lo + span]
+        chunks.append(canon[:span][vm])
         if hi >= n_dense:
             break
     keys = np.concatenate(chunks, axis=0)

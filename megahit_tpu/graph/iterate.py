@@ -281,7 +281,9 @@ def find_next_kmers(
         keys = kmerops.extract_all_kmers(sub, k2)
         canon, _ = kmerops.canonical_kmers(keys, k2)
         canon = np.asarray(canon)
-        span = min(len(canon), n_bases - lo)
+        # truncate to [lo, hi): the word-aligned slice covers up to 15
+        # offsets past hi and chunks must not overlap
+        span = min(min(hi, n_bases) - lo, len(canon))
         keys_out.append(canon[:span][emit_mask[lo : lo + span]])
         if hi >= n_dense2:
             break

@@ -38,7 +38,8 @@ from .counter import pack_flat, window_valid_mask
 
 @functools.partial(jax.jit, static_argnames=("k", "k1"))
 def _neighbor_flags(packed, solid_keys, k, k1):
-    """has_in/has_out for the k-mer at every base offset of `packed`."""
+    """has_in/has_out for the k-mer at every base offset of `packed`
+    (device path for k > 31: 8 canonical membership queries)."""
     kmers = kmerops.extract_all_kmers(packed, k)
     q = kmers.shape[0]
     has_in = jnp.zeros(q, dtype=bool)
@@ -54,6 +55,53 @@ def _neighbor_flags(packed, solid_keys, k, k1):
         _, f_out = kmerops.searchsorted_keys(solid_keys, q_out)
         has_in = has_in | f_in
         has_out = has_out | f_out
+    return has_in, has_out
+
+
+def _node_sets_u64(solid_keys: np.ndarray, k1: int):
+    """Sorted u64 sets of the k-prefixes and k-suffixes of both strands
+    of the solid edge set. has_out(kmer) == kmer in prefixes (some
+    solid edge starts with it); has_in(kmer) == kmer in suffixes. This
+    replaces 8 canonical candidate queries per position with 2 direct
+    memberships - and the queries need no canonicalization at all."""
+    import jax.numpy as jnp
+
+    k = k1 - 1
+    keys = jnp.asarray(solid_keys)
+    both = jnp.concatenate([keys, kmerops.revcomp_kmers(keys, k1)], axis=0)
+    prefixes = kmerops.mask_tail(both, k)
+    suffixes = kmerops.mask_tail(kmerops.drop_first_base(both, k1), k)
+    p = np.unique(kmerops.keys_to_u64(np.asarray(prefixes), k))
+    s = np.unique(kmerops.keys_to_u64(np.asarray(suffixes), k))
+    return p, s
+
+
+def _flags_host_u64(
+    packed, packed_np, solid_keys, k, k1, n_bases, chunk_bases
+):
+    """Host fast path (k <= 31): dense k-mers -> u64 -> np.searchsorted
+    membership in the prefix/suffix node sets."""
+    pset, sset = _node_sets_u64(solid_keys, k1)
+    w = kmerops.words_per_kmer(k1)
+    has_in = np.zeros(n_bases, dtype=bool)
+    has_out = np.zeros(n_bases, dtype=bool)
+    n_dense = (len(packed_np) - w) * 16
+    for lo in range(0, n_bases, chunk_bases):
+        hi = min(n_dense, lo + chunk_bases)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        kmers = np.asarray(kmerops.extract_all_kmers(sub, k))
+        span = min(min(hi, n_bases) - lo, len(kmers))
+        q = kmerops.keys_to_u64(kmers[:span], k)
+        ip = np.searchsorted(pset, q)
+        has_out[lo : lo + span] = pset[np.minimum(ip, len(pset) - 1)] == q \
+            if len(pset) else False
+        isx = np.searchsorted(sset, q)
+        has_in[lo : lo + span] = sset[np.minimum(isx, len(sset) - 1)] == q \
+            if len(sset) else False
+        if hi >= n_dense:
+            break
     return has_in, has_out
 
 
@@ -79,25 +127,30 @@ def find_mercy_edges(
     packed_np = pack_flat(flat_codes)
     packed_np = np.concatenate([packed_np, np.zeros(w + 1, dtype=np.uint32)])
     packed = jnp.asarray(packed_np)
-    solid = jnp.asarray(solid_keys)
 
     # dense has_in / has_out over every base offset, chunked
     n_dense = (len(packed_np) - w) * 16
-    has_in = np.zeros(n_bases, dtype=bool)
-    has_out = np.zeros(n_bases, dtype=bool)
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        hi_c, ho_c = _neighbor_flags(sub, solid, k, k1)
-        hi_c = np.asarray(hi_c)
-        ho_c = np.asarray(ho_c)
-        span = min(len(hi_c), n_bases - lo)
-        has_in[lo : lo + span] = hi_c[:span]
-        has_out[lo : lo + span] = ho_c[:span]
-        if hi >= n_dense:
-            break
+    if k <= 31:
+        has_in, has_out = _flags_host_u64(
+            packed, packed_np, solid_keys, k, k1, n_bases, chunk_bases
+        )
+    else:
+        solid = jnp.asarray(solid_keys)
+        has_in = np.zeros(n_bases, dtype=bool)
+        has_out = np.zeros(n_bases, dtype=bool)
+        for lo in range(0, n_bases, chunk_bases):
+            hi = min(n_dense, lo + chunk_bases)
+            lo_w = lo // 16
+            size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            hi_c, ho_c = _neighbor_flags(sub, solid, k, k1)
+            hi_c = np.asarray(hi_c)
+            ho_c = np.asarray(ho_c)
+            span = min(min(hi, n_bases) - lo, len(hi_c))
+            has_in[lo : lo + span] = hi_c[:span]
+            has_out[lo : lo + span] = ho_c[:span]
+            if hi >= n_dense:
+                break
 
     # positions whose k-window crosses a read boundary act as hard
     # resets (status "both"), so one global scan handles all reads
@@ -145,7 +198,8 @@ def find_mercy_edges(
         keys = kmerops.extract_all_kmers(sub, k1)
         canon, _ = kmerops.canonical_kmers(keys, k1)
         canon = np.asarray(canon)
-        span = min(len(canon), n_bases - lo)
+        # truncate to [lo, hi): chunks must not overlap
+        span = min(min(hi, n_bases) - lo, len(canon))
         mm = mercy_mask[lo : lo + span]
         out.append(canon[:span][mm])
         if hi >= n_dense:

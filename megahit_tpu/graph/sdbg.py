@@ -123,30 +123,90 @@ def _dedup_sorted_max(skeys, smult):
     return head, gmax[seg] * head
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _neighbor_tables(keys, k):
-    """Compute rc index + the four (E,4) candidate tables by batched
-    multi-word binary search over the sorted key array itself."""
+@functools.partial(jax.jit, static_argnames=("k", "n_group_words"))
+def _neighbor_tables(keys, k, n_group_words: int = 0):
+    """rc index + the four (E,4) candidate tables via sort-joins.
+
+    Redesign note: the v1 implementation ran 17 batched binary searches
+    (4 tables x 4 bases + rc) - random gathers that dominate build time
+    at scale. Instead, join edges on their shared (k-1)-mer NODES: one
+    sort of the 2E (node, kind, base) rows groups every edge incident
+    to a node, from which all four tables fall out as two scatters +
+    gathers; rc is one more sort-join of edges against their reverse
+    complements. No binary search anywhere.
+
+    keys: (E, G+W) with optional leading group words (disconnected
+    per-group subgraphs, see localasm.mini_asm); node/rc joins match
+    only within a group.
+    """
     e = keys.shape[0]
+    g = keys[:, :n_group_words]
+    kk = keys[:, n_group_words:]
+    idx = jnp.arange(e, dtype=jnp.int32)
 
-    def find(queries):
-        idx, found = kmerops.searchsorted_keys(keys, queries)
-        return jnp.where(found, idx, NULL)
+    prefix = kmerops.mask_tail(kk, k - 1)
+    suffix = kmerops.mask_tail(kmerops.drop_first_base(kk, k), k - 1)
+    first = kmerops.get_base(kk, 0).astype(jnp.int32)
+    last = kmerops.get_base(kk, k - 1).astype(jnp.int32)
 
-    rc_keys = kmerops.revcomp_kmers(keys, k)
-    rc_idx = find(rc_keys)
+    def with_group(part):
+        return jnp.concatenate([g, part], axis=1) if n_group_words \
+            else part
 
-    dropped = kmerops.drop_first_base(keys, k)  # keys[1:] + 0
+    node = jnp.concatenate(
+        [with_group(prefix), with_group(suffix)], axis=0
+    )
+    kind = jnp.concatenate([jnp.zeros(e, jnp.int32),
+                            jnp.ones(e, jnp.int32)])
+    base = jnp.concatenate([last, first])
+    eid = jnp.concatenate([idx, idx])
 
-    def table(make_query):
-        cols = [find(make_query(c)) for c in range(4)]
-        return jnp.stack(cols, axis=-1)
+    snode, skind, sbase, seid = kmerops.sort_keys_with_payload(
+        node, kind, base, eid
+    )
+    prev = jnp.concatenate([snode[:1], snode[:-1]], axis=0)
+    head = jnp.any(snode != prev, axis=-1).at[0].set(True)
+    node_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # < 2E
 
-    oc_t = table(lambda c: kmerops.mask_tail(
-        kmerops.set_base(dropped, k - 1, c), k))
-    ic_t = table(lambda c: kmerops.set_base(keys, 0, c))
-    oc_s = table(lambda c: kmerops.set_base(keys, k - 1, c))
-    ic_s = table(lambda c: kmerops.prepend_base(keys, c, k))
+    # per-node out/in tables; scatter positions (node, base) are unique
+    # because edge = node+c (resp. c+node) is unique
+    flat_cap = 2 * e * 4
+    pos = node_id * 4 + sbase
+    out_pos = jnp.where(skind == 0, pos, flat_cap)
+    in_pos = jnp.where(skind == 1, pos, flat_cap)
+    node_out = jnp.full(flat_cap + 1, NULL, jnp.int32) \
+        .at[out_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
+    node_in = jnp.full(flat_cap + 1, NULL, jnp.int32) \
+        .at[in_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
+
+    # per-edge node ids (scatter node_id back through the row's edge)
+    pfx_id = jnp.zeros(e, jnp.int32).at[
+        jnp.where(skind == 0, seid, e)
+    ].set(node_id, mode="drop")
+    sfx_id = jnp.zeros(e, jnp.int32).at[
+        jnp.where(skind == 1, seid, e)
+    ].set(node_id, mode="drop")
+
+    oc_t = node_out[sfx_id]
+    ic_t = node_in[sfx_id]
+    oc_s = node_out[pfx_id]
+    ic_s = node_in[pfx_id]
+
+    # rc: sort-join edges with their reverse complements (tag in the
+    # key so each group's fwd row precedes its rc row even unstably)
+    rc_kk = kmerops.revcomp_kmers(kk, k)
+    pair_keys = jnp.concatenate(
+        [with_group(kk), with_group(rc_kk)], axis=0
+    )
+    tag = jnp.concatenate([jnp.zeros(e, jnp.uint32),
+                           jnp.ones(e, jnp.uint32)])
+    pair_full = jnp.concatenate([pair_keys, tag[:, None]], axis=1)
+    _, pidx = kmerops.sort_keys_with_payload(
+        pair_full, jnp.concatenate([idx, idx])
+    )
+    a = pidx[0::2]
+    b = pidx[1::2]
+    rc_idx = jnp.zeros(e, jnp.int32).at[a].set(b).at[b].set(a)
     return rc_idx, oc_t, ic_t, oc_s, ic_s
 
 
@@ -265,31 +325,26 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
 
     e = len(edges)
-    epad = _pow2_pad(e)
-    if epad > e:
-        edges_p = np.concatenate(
-            [edges, np.full((epad - e, w), 0xFFFFFFFF, np.uint32)], axis=0
-        )
-    else:
-        edges_p = edges
-    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(jnp.asarray(edges_p), k)
-
-    def trim(t):
-        t = np.asarray(t)[:e].copy()
-        t[t >= e] = NULL  # matches into padding are not real
-        return t
-
-    rc_idx = trim(rc_idx)
-    assert (rc_idx >= 0).all(), "edge set must be closed under revcomp"
+    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
+        jnp.asarray(edges), k
+    )
+    rc_idx = np.asarray(rc_idx)
+    # spot-check the rc pairing (full check would re-derive the join)
+    sample = np.arange(0, e, max(1, e // 1024))
+    rc_sample = np.asarray(
+        kmerops.revcomp_kmers(jnp.asarray(edges[sample]), k)
+    )
+    assert (edges[rc_idx[sample]] == rc_sample).all(), \
+        "edge set must be closed under revcomp"
     sdbg = Sdbg(
         k=k,
         keys=edges,
         mult=mult,
         rc=rc_idx,
-        oc_t=trim(oc_t),
-        ic_t=trim(ic_t),
-        oc_s=trim(oc_s),
-        ic_s=trim(ic_s),
+        oc_t=np.asarray(oc_t),
+        ic_t=np.asarray(ic_t),
+        oc_s=np.asarray(oc_s),
+        ic_s=np.asarray(ic_s),
         valid=np.ones(e, dtype=bool),
     )
     log.debug("sdbg k=%d: %d windows -> %d edges", k, n_windows, e)

@@ -48,9 +48,22 @@ class SequenceLib:
         return self.flat_codes[self.starts[i] : self.starts[i + 1]]
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        """2-bit packed on disk (the reference's .bin is 2-bit packed
+        too, sequence_package.h:224-240); uncompressed npz - zlib on
+        100M+ bases costs a minute for little gain over 2-bit."""
+        n = len(self.flat_codes)
+        nw = (n + 15) // 16
+        padded = np.zeros(nw * 16, dtype=np.uint8)
+        padded[:n] = self.flat_codes
+        shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+        packed = (
+            (padded.reshape(nw, 16).astype(np.uint32) << shifts)
+            .sum(axis=1, dtype=np.uint32)
+        )
+        np.savez(
             path,
-            flat_codes=self.flat_codes,
+            packed=packed,
+            n_bases=np.int64(n),
             starts=self.starts,
             lib_ranges=np.array(
                 [(b, e, int(p)) for b, e, p in self.lib_ranges], dtype=np.int64
@@ -63,7 +76,13 @@ class SequenceLib:
         ranges = [
             (int(b), int(e), bool(p)) for b, e, p in z["lib_ranges"]
         ]
-        return cls(z["flat_codes"], z["starts"], ranges)
+        if "flat_codes" in z:  # legacy uncompressed-codes format
+            return cls(z["flat_codes"], z["starts"], ranges)
+        packed = z["packed"].astype(np.uint32)
+        n = int(z["n_bases"])
+        shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+        codes = ((packed[:, None] >> shifts) & 3).astype(np.uint8)
+        return cls(codes.reshape(-1)[:n], z["starts"], ranges)
 
 
 def _interleave_flat(f1, s1, f2, s2):

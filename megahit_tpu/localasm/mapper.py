@@ -113,11 +113,9 @@ class MapResult:
 
 
 @functools.partial(jax.jit, static_argnames=("seed_k",))
-def _seed_hits(packed, index_keys, seed_k):
+def _seed_canon(packed, seed_k):
     kmers = kmerops.extract_all_kmers(packed, seed_k)
-    canon, is_rc = kmerops.canonical_kmers(kmers, seed_k)
-    idx, found = kmerops.searchsorted_keys(index_keys, canon)
-    return jnp.where(found, idx, NULL), is_rc
+    return kmerops.canonical_kmers(kmers, seed_k)
 
 
 def map_reads(
@@ -146,7 +144,9 @@ def map_reads(
     packed_np = pack_flat(flat_codes)
     packed_np = np.concatenate([packed_np, np.zeros(w + 1, np.uint32)])
     packed = jnp.asarray(packed_np)
-    ikeys = jnp.asarray(index.keys)
+    # seed_k = 31 <= 32: host u64 binary search over the seed index
+    # (device searchsorted costs log(S) random gathers per position)
+    ikeys_u64 = kmerops.keys_to_u64(index.keys, seed_k)
 
     hit = np.full(n_bases, NULL, dtype=np.int32)
     qrc = np.zeros(n_bases, dtype=bool)
@@ -156,11 +156,16 @@ def map_reads(
         lo_w = lo // 16
         size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
         sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        h, r = _seed_hits(sub, ikeys, seed_k)
-        h, r = np.asarray(h), np.asarray(r)
-        span = min(len(h), n_bases - lo)
-        hit[lo : lo + span] = h[:span]
-        qrc[lo : lo + span] = r[:span]
+        canon, is_rc = _seed_canon(sub, seed_k)
+        canon, is_rc = np.asarray(canon), np.asarray(is_rc)
+        span = min(min(hi, n_bases) - lo, len(canon))
+        q = kmerops.keys_to_u64(canon[:span], seed_k)
+        pos = np.searchsorted(ikeys_u64, q)
+        safe = np.minimum(pos, max(len(ikeys_u64) - 1, 0))
+        found = (ikeys_u64[safe] == q) if len(ikeys_u64) else \
+            np.zeros(span, bool)
+        hit[lo : lo + span] = np.where(found, safe, NULL)
+        qrc[lo : lo + span] = is_rc[:span]
         if hi >= n_dense:
             break
     valid = window_valid_mask(starts, seed_k, n_bases)

@@ -40,28 +40,13 @@ GROUP_BASES = 16  # one uint32 word of group id = 16 phantom bases
 
 def _grouped_neighbor_tables(full_keys: np.ndarray, k: int):
     """rc + 4 candidate tables for keys laid out as
-    [group_word | kmer_words], matching only within the same group."""
-    e = len(full_keys)
-    gcol = jnp.asarray(full_keys[:, :1])
-    kcols = jnp.asarray(full_keys[:, 1:])
-    sorted_full = jnp.asarray(full_keys)
+    [group_word | kmer_words], matching only within the same group
+    (the shared sort-join with one group word)."""
+    from ..graph.sdbg import _neighbor_tables
 
-    def find(q_kcols):
-        q = jnp.concatenate([gcol, q_kcols], axis=1)
-        idx, found = kmerops.searchsorted_keys(sorted_full, q)
-        return jnp.where(found, idx, NULL)
-
-    rc_idx = find(kmerops.revcomp_kmers(kcols, k))
-    dropped = kmerops.drop_first_base(kcols, k)
-
-    def table(make):
-        return jnp.stack([find(make(c)) for c in range(4)], axis=-1)
-
-    oc_t = table(lambda c: kmerops.mask_tail(
-        kmerops.set_base(dropped, k - 1, c), k))
-    ic_t = table(lambda c: kmerops.set_base(kcols, 0, c))
-    oc_s = table(lambda c: kmerops.set_base(kcols, k - 1, c))
-    ic_s = table(lambda c: kmerops.prepend_base(kcols, c, k))
+    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
+        jnp.asarray(full_keys), k, n_group_words=1
+    )
     return (np.asarray(rc_idx), np.asarray(oc_t), np.asarray(ic_t),
             np.asarray(oc_s), np.asarray(ic_s))
 

@@ -53,11 +53,21 @@ class Checkpoint:
     def run(self, fn, *args, **kwargs):
         idx = self.idx
         self.idx += 1
+        log = get_logger()
         if idx <= self.done_upto:
-            get_logger().info("skipping checkpointed stage %d (%s)",
-                              idx, fn.__name__)
+            log.info("skipping checkpointed stage %d (%s)",
+                     idx, fn.__name__)
             return None
+        t0 = time.monotonic()
         out = fn(*args, **kwargs)
+        from ..utils.timers import max_rss_mb
+
+        log.info(
+            "stage %d (%s%s): %.2fs, maxrss %.0f MB",
+            idx, fn.__name__,
+            "".join(f" {a}" for a in args), time.monotonic() - t0,
+            max_rss_mb(),
+        )
         with open(self.path, "a") as fh:
             fh.write(f"{idx} done\n")
         return out
@@ -125,6 +135,12 @@ class Pipeline:
             self.graph_prefix(o.k_min) + ".edges.npz",
             keys=keys, counts=counts,
         )
+        # multiplicity histogram artifact (reference .counting file,
+        # kmer_counter.cpp:409-410)
+        vals, cnts = np.unique(counts, return_counts=True)
+        with open(self.graph_prefix(o.k_min) + ".counting", "w") as fh:
+            for v, c in zip(vals, cnts):
+                fh.write(f"{v} {c}\n")
 
     def stage_assemble(self, k: int) -> None:
         """Load the k graph inputs, assemble, write contig files
