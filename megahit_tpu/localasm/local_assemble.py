@@ -83,48 +83,71 @@ def collect_mappings(
     insert_sizes,
     contig_lens: np.ndarray,
 ):
-    """Per (contig, side) lists of (abs_pos, is_mate, read_id), sorted.
-    side 0 = contig start, side 1 = contig end (reference
-    MappingResultCollector AddSingle/AddMate)."""
-    lengths = lib.lengths
-    n_contigs = len(contig_lens)
-    entries: list[list[tuple[int, int, int]]] = [
-        [] for _ in range(2 * n_contigs)
-    ]
+    """Per (contig, side) read collections (reference
+    MappingResultCollector AddSingle/AddMate), fully vectorized.
 
-    def add(cid, side, pos, is_mate, rid):
-        entries[2 * cid + side].append((int(pos), int(is_mate), int(rid)))
+    Returns dict[(cid, side)] -> (pos, is_mate, rid) arrays sorted by
+    the reference's encoded order (pos, is_mate, mismatch, strand,
+    read_id); side 0 = contig start, side 1 = contig end."""
+    lengths = lib.lengths
+    cols = {k: [] for k in ("cid", "side", "pos", "mate", "rid",
+                            "mm", "st")}
+
+    def add(cid, side, pos, is_mate, rid, mm, st):
+        cols["cid"].append(cid.astype(np.int64))
+        cols["side"].append(np.full(len(cid), side, np.int8))
+        cols["pos"].append(pos.astype(np.int64))
+        cols["mate"].append(np.full(len(cid), is_mate, np.int8))
+        cols["rid"].append(rid.astype(np.int64))
+        cols["mm"].append(mm.astype(np.int64))
+        cols["st"].append(st.astype(np.int64))
 
     for li, rng in enumerate(lib.lib_ranges):
         begin, end, is_paired = rng
         lr = local_range_for(rng, lengths, insert_sizes[li])
         ids = np.arange(begin, end)
-        v = res.valid[ids]
-        for rid in ids[v]:
-            cid = res.contig_id[rid]
-            cl = contig_lens[cid]
-            rl = lengths[rid]
-            # AddSingle: read overhangs an end within local range
-            if (res.contig_to[rid] < lr and res.query_from[rid] != 0
-                    and res.query_to[rid] == rl - 1):
-                add(cid, 0, res.contig_to[rid], 0, rid)
-            elif (res.contig_from[rid] + lr >= cl
-                    and res.query_to[rid] < rl - 1
-                    and res.query_from[rid] == 0):
-                add(cid, 1, cl - 1 - res.contig_from[rid], 0, rid)
-            # AddMate: stray mate of an end-anchored read
-            if is_paired:
-                mate = rid + 1 if (rid - begin) % 2 == 0 else rid - 1
-                if res.valid[mate] and res.contig_id[mate] == cid:
-                    continue
-                if res.contig_to[rid] < lr and res.strand[rid] == 1:
-                    add(cid, 0, res.contig_to[rid], 1, mate)
-                elif (res.contig_from[rid] + lr >= cl
-                        and res.strand[rid] == 0):
-                    add(cid, 1, cl - 1 - res.contig_from[rid], 1, mate)
-    for lst in entries:
-        lst.sort()
-    return entries
+        ids = ids[res.valid[ids]]
+        if len(ids) == 0:
+            continue
+        cid = res.contig_id[ids]
+        cl = contig_lens[cid]
+        rl = lengths[ids]
+        cfrom, cto = res.contig_from[ids], res.contig_to[ids]
+        qfrom, qto = res.query_from[ids], res.query_to[ids]
+        mm, st = res.mismatch[ids], res.strand[ids]
+
+        f = (cto < lr) & (qfrom != 0) & (qto == rl - 1)
+        b = ~f & (cfrom + lr >= cl) & (qto < rl - 1) & (qfrom == 0)
+        add(cid[f], 0, cto[f], 0, ids[f], mm[f], st[f])
+        add(cid[b], 1, (cl - 1 - cfrom)[b], 0, ids[b], mm[b], st[b])
+
+        if is_paired:
+            mate = begin + ((ids - begin) ^ 1)
+            ok = ~(res.valid[mate] & (res.contig_id[mate] == cid))
+            mf = ok & (cto < lr) & (st == 1)
+            mb = ok & ~mf & (cfrom + lr >= cl) & (st == 0)
+            add(cid[mf], 0, cto[mf], 1, mate[mf], mm[mf], st[mf])
+            add(cid[mb], 1, (cl - 1 - cfrom)[mb], 1, mate[mb],
+                mm[mb], st[mb])
+
+    out: dict[tuple[int, int], tuple] = {}
+    if not cols["cid"]:
+        return out
+    c = {k: np.concatenate(v) for k, v in cols.items()}
+    order = np.lexsort((c["rid"], c["st"], c["mm"], c["mate"],
+                        c["pos"], c["side"], c["cid"]))
+    for k in c:
+        c[k] = c[k][order]
+    key = c["cid"] * 2 + c["side"]
+    bounds = np.flatnonzero(
+        np.concatenate([[True], key[1:] != key[:-1]])
+    )
+    ends = np.concatenate([bounds[1:], [len(key)]])
+    for s, e in zip(bounds, ends):
+        out[(int(c["cid"][s]), int(c["side"][s]))] = (
+            c["pos"][s:e], c["mate"][s:e], c["rid"][s:e]
+        )
+    return out
 
 
 def run_local_assembly(
@@ -154,24 +177,22 @@ def run_local_assembly(
     groups_reads: list[list[np.ndarray]] = []
     contig_ends: list[np.ndarray] = []
     group_meta: list[tuple[int, int]] = []
-    for cid, codes in enumerate(contig_codes):
+    for (cid, side), (pos, _mate, rid) in entries.items():
+        if len(pos) <= min_num_reads:
+            continue
+        # <=3 reads per mapping position (reference :260-275)
+        new_pos = np.concatenate([[True], pos[1:] != pos[:-1]])
+        gidx = np.cumsum(new_pos) - 1
+        rank = np.arange(len(pos)) - np.flatnonzero(new_pos)[gidx]
+        keep = rid[rank < 3]
+        reads = [lib.seq(r) for r in keep]
+        codes = contig_codes[cid]
         cl = len(codes)
-        for side in (0, 1):
-            lst = entries[2 * cid + side]
-            if len(lst) <= min_num_reads:
-                continue
-            reads: list[np.ndarray] = []
-            last_pos, pos_count = -1, 0
-            for pos, _, rid in lst:
-                pos_count = pos_count + 1 if pos == last_pos else 1
-                last_pos = pos
-                if pos_count <= 3:  # <=3 reads per position (:260-275)
-                    reads.append(lib.seq(rid))
-            end_len = min(max_lr, cl)
-            ce = codes[:end_len] if side == 0 else codes[cl - end_len:]
-            groups_reads.append(reads)
-            contig_ends.append(ce)
-            group_meta.append((cid, side))
+        end_len = min(max_lr, cl)
+        ce = codes[:end_len] if side == 0 else codes[cl - end_len:]
+        groups_reads.append(reads)
+        contig_ends.append(ce)
+        group_meta.append((cid, side))
 
     if not groups_reads:
         log.info("local assembly: no eligible contig ends")
