@@ -295,8 +295,9 @@ def pop_complex_bubbles(
     bubble_records: list | None = None,
 ) -> tuple[UnitigGraph, int]:
     """Reference ComplexBubbleRemover::PopBubbles
-    (bubble_remover.cpp:154-170)."""
-    max_len = int(round(merge_level * g.k / similarity))
+    (bubble_remover.cpp:154-170). Uses the megahit-level k = edge
+    length - 1."""
+    max_len = int(round(merge_level * (g.k - 1) / similarity))
     if max_len * (1 - similarity) < 1:
         return g, 0
     return pop_bubbles(

@@ -189,68 +189,56 @@ def find_next_kmers(
     hit_f[~valid1] = NULL
     hit_r[~valid1] = NULL
 
-    # accumulate marks and multiplicity contributions
+    # accumulate marks and multiplicity contributions; hit positions
+    # are sparse, so all extension work stays on index arrays
     exist = np.zeros(n_bases, dtype=bool)
     mul_sum = np.zeros(n_bases, dtype=np.float64)
     mul_cnt = np.zeros(n_bases, dtype=np.int64)
 
-    def contribute(pos_mask, mul_at):
-        exist[pos_mask] = True
-        mul_sum[pos_mask] += mul_at[pos_mask]
-        mul_cnt[pos_mask] += 1
+    def contribute(pos, mul_at):
+        exist[pos] = True
+        np.add.at(mul_sum, pos, mul_at)
+        np.add.at(mul_cnt, pos, 1)
 
-    fsel = hit_f >= 0
-    rsel = hit_r >= 0
-    contribute(fsel, index.mul[np.maximum(hit_f, 0)])
-    contribute(rsel, index.mul[np.maximum(hit_r, 0)])
+    fpos0 = np.flatnonzero(hit_f >= 0)
+    rpos0 = np.flatnonzero(hit_r >= 0)
+    contribute(fpos0, index.mul[hit_f[fpos0]])
+    contribute(rpos0, index.mul[hit_r[rpos0]])
 
-    # forward extensions: flank at p validates p+1+j while read base at
-    # p+k1+j equals ext base j (prefix-And over j)
-    fcarry = fsel.copy()
-    rcarry = rsel.copy()
-    idxs = np.arange(n_bases)
     lengths = np.diff(starts)
     read_start_at = np.repeat(starts[:-1], lengths)
     read_end_at = np.repeat(starts[1:], lengths)
-    for j in range(step - 1):
-        # forward: check base p + k1 + j (must stay inside p's read)
-        src = np.flatnonzero(fcarry)
-        src = src[src + k1 + j < read_end_at[src]]
-        ok = (
-            flat_codes[src + k1 + j]
-            == index.ext_bases[hit_f[src], j]
-        ) & (j < index.ext_len[hit_f[src]])
-        src = src[ok]
-        fcarry = np.zeros(n_bases, dtype=bool)
-        fcarry[src] = True
-        tgt = src + j + 1
-        tgt = tgt[valid1[tgt]]
-        m = np.zeros(n_bases)
-        m[tgt] = index.mul[hit_f[tgt - j - 1]]
-        tmask = np.zeros(n_bases, dtype=bool)
-        tmask[tgt] = True
-        contribute(tmask, m)
 
-        # rc: flank at p validates p-1-j while comp(read base at
-        # p-1-j) equals ext base j (must stay inside p's read)
-        src = np.flatnonzero(rcarry)
+    # forward extensions: flank at p validates p+1+j while read base at
+    # p+k1+j equals ext base j (prefix-And over j, index-based)
+    src = fpos0
+    for j in range(step - 1):
+        src = src[src + k1 + j < read_end_at[src]]
+        if len(src) == 0:
+            break
+        h = hit_f[src]
+        src = src[(flat_codes[src + k1 + j] == index.ext_bases[h, j])
+                  & (j < index.ext_len[h])]
+        tgt = src + j + 1
+        ok = valid1[tgt]
+        contribute(tgt[ok], index.mul[hit_f[src[ok]]])
+
+    # rc extensions: flank at p validates p-1-j while comp(read base)
+    # equals ext base j
+    src = rpos0
+    for j in range(step - 1):
         src = src[src - 1 - j >= read_start_at[src]]
-        ok = (
-            (3 - flat_codes[src - 1 - j])
-            == index.ext_bases[hit_r[src], j]
-        ) & (j < index.ext_len[hit_r[src]])
-        src = src[ok]
-        rcarry = np.zeros(n_bases, dtype=bool)
-        rcarry[src] = True
+        if len(src) == 0:
+            break
+        h = hit_r[src]
+        src = src[((3 - flat_codes[src - 1 - j]) == index.ext_bases[h, j])
+                  & (j < index.ext_len[h])]
         tgt = src - 1 - j
-        tgt = tgt[valid1[tgt]]
-        m = np.zeros(n_bases)
-        m[tgt] = index.mul[hit_r[tgt + j + 1]]
-        tmask = np.zeros(n_bases, dtype=bool)
-        tmask[tgt] = True
-        contribute(tmask, m)
+        ok = valid1[tgt]
+        contribute(tgt[ok], index.mul[hit_r[src[ok]]])
 
     kmer_mul = np.where(mul_cnt > 0, mul_sum / np.maximum(mul_cnt, 1), 0.0)
+    idxs = np.arange(n_bases)
 
     # runs of step+1 consecutive marked positions -> emit the read's
     # (k+step+1)-mer covering the run
@@ -268,27 +256,12 @@ def find_next_kmers(
         np.floor(mul_list + 0.5), KMAX_MUL
     ).astype(np.int32)
 
-    # gather + canonicalize the emitted (k2)-mers, dedup by max mul
-    emit_mask = np.zeros(n_bases, dtype=bool)
-    emit_mask[a_list] = True
-    keys_out = []
-    n_dense2 = (len(packed_np) - w2) * 16
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense2, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w2 + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        keys = kmerops.extract_all_kmers(sub, k2)
-        canon, _ = kmerops.canonical_kmers(keys, k2)
-        canon = np.asarray(canon)
-        # truncate to [lo, hi): the word-aligned slice covers up to 15
-        # offsets past hi and chunks must not overlap
-        span = min(min(hi, n_bases) - lo, len(canon))
-        keys_out.append(canon[:span][emit_mask[lo : lo + span]])
-        if hi >= n_dense2:
-            break
-    keys_all = np.concatenate(keys_out, axis=0)
-    assert len(keys_all) == len(a_list)
+    # gather + canonicalize the emitted (k2)-mers (emissions are sparse
+    # relative to positions: a targeted gather beats dense extraction)
+    pos = jnp.asarray(a_list.astype(np.int32))
+    keys = kmerops.extract_kmers(packed, pos, k2)
+    canon, _ = kmerops.canonical_kmers(keys, k2)
+    keys_all = np.asarray(canon)
 
     order = np.lexsort(
         (-mul_list,) + tuple(keys_all[:, i] for i in range(w2 - 1, -1, -1))

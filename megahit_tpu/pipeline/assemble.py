@@ -51,7 +51,9 @@ class AssembleResult:
 
 def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
     log = get_logger()
-    k = sdbg.k
+    # thresholds use the megahit-level k (node length); sdbg.k is the
+    # edge length = megahit k + 1
+    k = sdbg.k - 1
     max_tip_len = opt.max_tip_len if opt.max_tip_len != -1 else 2 * k
     min_depth = opt.min_depth
     if min_depth <= 0:
