@@ -68,6 +68,25 @@ class Sdbg:
 
         return packing.unpack_words(self.keys[e], self.k)
 
+    def save(self, path: str) -> None:
+        """Persist the graph (the analogue of the reference's
+        .sdbg.{tid} + .sdbg_info shards, sdbg_writer.cpp:25-80 -
+        redesigned as one npz since there is no per-thread sharding)."""
+        np.savez(
+            path, k=np.int64(self.k), keys=self.keys, mult=self.mult,
+            rc=self.rc, oc_t=self.oc_t, ic_t=self.ic_t, oc_s=self.oc_s,
+            ic_s=self.ic_s, valid=self.valid,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Sdbg":
+        z = np.load(path)
+        return cls(
+            k=int(z["k"]), keys=z["keys"], mult=z["mult"], rc=z["rc"],
+            oc_t=z["oc_t"], ic_t=z["ic_t"], oc_s=z["oc_s"],
+            ic_s=z["ic_s"], valid=z["valid"],
+        )
+
     def invalidate(self, mask: np.ndarray) -> None:
         """Invalidate edges in `mask` AND their reverse complements,
         keeping validity rc-symmetric (the reference walks both strands
