@@ -43,10 +43,20 @@ def main():
         jnp.asarray(rng.integers(0, 2**32, n_words, dtype=np.uint32))
     )
 
+    from megahit_tpu.core.pallas_kernels import canonical_all_kmers_pallas
+
+    use_pallas = jax.default_backend() not in ("cpu",)
+
     def one_step(packed):
-        keys = kmerops.extract_all_kmers(packed, k1)
-        canon, _ = kmerops.canonical_kmers(keys, k1)
-        skeys = kmerops.sort_keys_with_payload(canon)[0]
+        if use_pallas:
+            cols = canonical_all_kmers_pallas(packed, k1)
+            ops = tuple(cols[i] for i in range(cols.shape[0]))
+            out = jax.lax.sort(ops, num_keys=len(ops), is_stable=False)
+            skeys = jnp.stack(out, axis=-1)
+        else:
+            keys = kmerops.extract_all_kmers(packed, k1)
+            canon, _ = kmerops.canonical_kmers(keys, k1)
+            skeys = kmerops.sort_keys_with_payload(canon)[0]
         head, counts = kmerops.count_sorted_runs(
             skeys, jnp.ones(skeys.shape[0], dtype=bool)
         )

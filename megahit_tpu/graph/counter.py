@@ -111,7 +111,10 @@ def count_canonical_kmers(
     )
     packed = jnp.asarray(packed_np)
 
-    # dense extraction over word-range chunks, host-compacted by validity
+    # dense extraction over word-range chunks, host-compacted by
+    # validity; on TPU the fused pallas kernel produces phase-grouped
+    # (W, M) columns (order is irrelevant: everything is sorted next)
+    use_pallas = jax.default_backend() not in ("cpu",)
     n_dense = (len(packed_np) - w) * 16
     chunk = max(1 << 16, batch_windows)
     chunks = []
@@ -120,12 +123,20 @@ def count_canonical_kmers(
         lo_w, hi_w = lo // 16, (hi + 15) // 16
         size = min(hi_w + w + 1, len(packed_np)) - lo_w
         sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        canon = np.asarray(_extract_canonical_dense(sub, k1))
-        # the word-aligned slice covers up to 15 offsets past `hi`;
-        # truncate to [lo, hi) so chunks never overlap
-        span = min(min(hi, n_bases) - lo, len(canon))
-        vm = valid_all[lo : lo + span]
-        chunks.append(canon[:span][vm])
+        span = min(min(hi, n_bases) - lo, (size - w) * 16)
+        vm = np.zeros((size - w) * 16, dtype=bool)
+        vm[:span] = valid_all[lo : lo + span]
+        if use_pallas:
+            from ..core.pallas_kernels import (
+                canonical_all_kmers_pallas, phase_grouped_mask,
+            )
+
+            cols = np.asarray(canonical_all_kmers_pallas(sub, k1))
+            pm = phase_grouped_mask(vm)
+            chunks.append(np.ascontiguousarray(cols.T[pm]))
+        else:
+            canon = np.asarray(_extract_canonical_dense(sub, k1))
+            chunks.append(canon[: len(vm)][vm])
         if hi >= n_dense:
             break
     keys = np.concatenate(chunks, axis=0)
