@@ -34,6 +34,18 @@ def make_parser() -> argparse.ArgumentParser:
     o.add_argument("--out-prefix", default="")
     o.add_argument("--min-contig-len", type=int, default=200)
     o.add_argument("--keep-tmp-files", action="store_true")
+    o.add_argument("-f", "--force", action="store_true",
+                   help="overwrite an existing output directory")
+
+    h = p.add_argument_group("hardware options")
+    h.add_argument("-m", "--memory", type=float, default=0.9,
+                   help="memory budget: fraction of RAM if <= 1, else "
+                   "bytes; sizes the device batch (reference -m)")
+    h.add_argument("-t", "--num-cpu-threads", type=int, default=0,
+                   help="accepted for reference CLI parity (XLA manages "
+                   "host threads)")
+    h.add_argument("--no-hw-accel", action="store_true",
+                   help="reference parity alias for --platform cpu")
 
     a = p.add_argument_group("assembly options")
     a.add_argument("--presets", choices=["meta-sensitive", "meta-large"])
@@ -104,6 +116,8 @@ def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
+    if args.no_hw_accel:
+        args.platform = "cpu"
     if args.platform != "auto" or args.test_mode:
         import jax
 
@@ -115,6 +129,22 @@ def main(argv=None) -> int:
     from megahit_tpu.pipeline.driver import Pipeline
     from megahit_tpu.pipeline.options import Options
     from megahit_tpu.utils.log import setup_logging
+
+    if (os.path.isdir(args.out_dir)
+            and os.listdir(args.out_dir)
+            and not args.continue_mode and not args.force
+            and not args.test_mode):
+        print(
+            f"megahit_tpu: output directory {args.out_dir} exists; "
+            "use -f to overwrite or --continue to resume",
+            file=sys.stderr,
+        )
+        return 1
+    if args.force and os.path.isdir(args.out_dir) \
+            and not args.continue_mode:
+        import shutil
+
+        shutil.rmtree(args.out_dir)
 
     opt = Options(
         pe1=_split(args.pe1), pe2=_split(args.pe2),
@@ -135,6 +165,7 @@ def main(argv=None) -> int:
         continue_mode=args.continue_mode,
         verbose=args.verbose,
         k_min=args.k_min, k_max=args.k_max, k_step=args.k_step,
+        memory=args.memory,
     )
     if args.presets:
         opt.apply_preset(args.presets)

@@ -126,7 +126,7 @@ def build_lib(
     All paths stay in flat pool form (native parser + vectorized
     interleave; no per-read Python objects).
     """
-    from .fastx import read_fastx_flat
+    from .async_reader import AsyncFastxReader
 
     pools: list[tuple[np.ndarray, np.ndarray]] = []
     ranges: list[tuple[int, int, bool]] = []
@@ -139,16 +139,24 @@ def build_lib(
         ranges.append((n_seqs, n_seqs + cnt, paired))
         n_seqs += cnt
 
-    for path in pe12:
-        push(*read_fastx_flat(path), True)
-
+    # one ordered stream with one file of read-ahead (the reference's
+    # AsyncSequenceReader double buffering, async_sequence_reader.h)
+    order = list(pe12)
     for p1, p2 in zip(pe1, pe2):
-        f1, s1 = read_fastx_flat(p1)
-        f2, s2 = read_fastx_flat(p2)
-        push(*_interleave_flat(f1, s1, f2, s2), True)
+        order += [p1, p2]
+    order += list(se)
+    it = iter(AsyncFastxReader(order))
 
-    for path in se:
-        push(*read_fastx_flat(path), False)
+    for _ in pe12:
+        _, flat, starts = next(it)
+        push(flat, starts, True)
+    for _ in zip(pe1, pe2):
+        _, f1, s1 = next(it)
+        _, f2, s2 = next(it)
+        push(*_interleave_flat(f1, s1, f2, s2), True)
+    for _ in se:
+        _, flat, starts = next(it)
+        push(flat, starts, False)
 
     if not pools:
         return SequenceLib(np.zeros(0, np.uint8), np.zeros(1, np.int64), [])

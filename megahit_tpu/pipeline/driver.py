@@ -108,6 +108,19 @@ class Pipeline:
             lib.num_seqs, lib.num_bases, lib.max_len,
         )
 
+    def _batch_windows(self) -> int:
+        """Device batch size from the -m memory budget (reference
+        memory autodetect, src/megahit:596-609: default 0.9 x RAM)."""
+        m = self.opt.memory
+        if m <= 1:
+            budget = m * os.sysconf("SC_PAGE_SIZE") * os.sysconf(
+                "SC_PHYS_PAGES"
+            )
+        else:
+            budget = m
+        # ~64 B/window peak across extraction + sort working sets
+        return int(max(1 << 20, min(1 << 26, int(budget) // 64)))
+
     def _load_lib(self) -> SequenceLib:
         if self.lib is None:
             self.lib = SequenceLib.load(self.lib_path)
@@ -121,7 +134,8 @@ class Pipeline:
         lib = self._load_lib()
         k1 = o.k_min + 1
         keys, counts = count_canonical_kmers(
-            lib.flat_codes, lib.starts, k1, o.min_count
+            lib.flat_codes, lib.starts, k1, o.min_count,
+            batch_windows=self._batch_windows(),
         )
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
         if not o.no_mercy:

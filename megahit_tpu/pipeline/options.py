@@ -45,6 +45,8 @@ class Options:
     kmin_1pass: bool = False
     # output filtering
     min_contig_len: int = 200
+    # resources (reference -m, src/megahit:165,596-609)
+    memory: float = 0.9
     # misc
     keep_tmp_files: bool = False
     test_mode: bool = False

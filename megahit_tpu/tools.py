@@ -145,6 +145,29 @@ def main(argv=None) -> int:
         )
         return 1
     cmd, rest = argv[0], argv[1:]
+    if cmd == "dumpversion" or cmd == "version":
+        # reference main.cpp:52 dumpversion
+        from . import __version__
+
+        print(__version__)
+        return 0
+    if cmd == "kmax":
+        # reference main.cpp `kmax` (sdbg_def.h:21 kMaxK=255); key
+        # width here is dynamic but the CLI enforces the same cap
+        print(255)
+        return 0
+    if cmd == "checkcpu":
+        # reference cpu_dispatch introspection; TPU-era equivalent
+        # reports devices + host parallelism
+        import os as _os
+
+        import jax
+
+        print(f"host cpus: {_os.cpu_count()}")
+        print(f"jax backend: {jax.default_backend()}")
+        for d in jax.devices():
+            print(f"device: {d}")
+        return 0
     if cmd == "contig2fastg":
         if len(rest) < 2:
             print("usage: contig2fastg <kmer_size> <contigs.fa>",
