@@ -118,13 +118,14 @@ def main(argv=None) -> int:
 
     if args.no_hw_accel:
         args.platform = "cpu"
-    if args.platform != "auto" or args.test_mode:
+    if args.platform == "cpu" or (args.test_mode
+                                  and args.platform == "auto"):
         import jax
 
-        jax.config.update(
-            "jax_platforms",
-            args.platform if args.platform != "auto" else "cpu",
-        )
+        jax.config.update("jax_platforms", "cpu")
+    # --platform tpu: keep the environment's default platform list
+    # (accelerator plugins may register under vendor names, e.g. the
+    # tunneled TPU here registers as "axon", not "tpu")
 
     from megahit_tpu.pipeline.driver import Pipeline
     from megahit_tpu.pipeline.options import Options

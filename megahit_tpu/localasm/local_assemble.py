@@ -134,6 +134,8 @@ def collect_mappings(
     if not cols["cid"]:
         return out
     c = {k: np.concatenate(v) for k, v in cols.items()}
+    if len(c["cid"]) == 0:
+        return out
     order = np.lexsort((c["rid"], c["st"], c["mm"], c["mate"],
                         c["pos"], c["side"], c["cid"]))
     for k in c:
