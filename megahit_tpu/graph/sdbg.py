@@ -355,18 +355,42 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     )
     assert (edges[rc_idx[sample]] == rc_sample).all(), \
         "edge set must be closed under revcomp"
+
+    # pad all per-edge arrays to a power-of-two CAPACITY with inert
+    # rows (valid=False, self-rc, no candidates): every downstream
+    # jitted frontier pass then compiles once per capacity bucket
+    # instead of once per refresh - compile churn otherwise dominates
+    # graph cleaning (dozens of refreshes, each with a new E)
+    cap = _pow2_pad(max(e, 16))
+    padn = cap - e
+
+    def padi(a, fill):
+        return np.concatenate(
+            [np.asarray(a), np.full((padn,) + a.shape[1:], fill,
+                                    a.dtype)]
+        ) if padn else np.asarray(a)
+
+    keys_p = np.concatenate(
+        [edges, np.full((padn, w), 0xFFFFFFFF, np.uint32)]
+    ) if padn else edges
+    rc_p = np.concatenate(
+        [rc_idx, np.arange(e, cap, dtype=rc_idx.dtype)]
+    ) if padn else rc_idx
     sdbg = Sdbg(
         k=k,
-        keys=edges,
-        mult=mult,
-        rc=rc_idx,
-        oc_t=np.asarray(oc_t),
-        ic_t=np.asarray(ic_t),
-        oc_s=np.asarray(oc_s),
-        ic_s=np.asarray(ic_s),
-        valid=np.ones(e, dtype=bool),
+        keys=keys_p,
+        mult=padi(mult, 0),
+        rc=rc_p,
+        oc_t=padi(np.asarray(oc_t), NULL),
+        ic_t=padi(np.asarray(ic_t), NULL),
+        oc_s=padi(np.asarray(oc_s), NULL),
+        ic_s=padi(np.asarray(ic_s), NULL),
+        valid=np.concatenate(
+            [np.ones(e, bool), np.zeros(padn, bool)]
+        ),
     )
-    log.debug("sdbg k=%d: %d windows -> %d edges", k, n_windows, e)
+    log.debug("sdbg k=%d: %d windows -> %d edges (cap %d)",
+              k, n_windows, e, cap)
     return sdbg
 
 

@@ -84,10 +84,29 @@ def grouped_sdbg(
 
     rc_idx, oc_t, ic_t, oc_s, ic_s = _grouped_neighbor_tables(edges, k)
     assert (rc_idx >= 0).all()
+
+    # pad to power-of-two capacity with inert rows (compile reuse
+    # across refreshes; see graph.sdbg._finalize_sdbg)
+    from ..graph.counter import _pow2_pad
+
+    e = len(edges)
+    cap = _pow2_pad(max(e, 16))
+    padn = cap - e
+
+    def padi(a, fill):
+        return np.concatenate(
+            [a, np.full((padn,) + a.shape[1:], fill, a.dtype)]
+        ) if padn else a
+
+    keys_p = padi(edges, 0xFFFFFFFF)
+    rc_p = np.concatenate(
+        [rc_idx, np.arange(e, cap, dtype=rc_idx.dtype)]
+    ) if padn else rc_idx
     return Sdbg(
-        k=k + GROUP_BASES, keys=edges, mult=mult, rc=rc_idx,
-        oc_t=oc_t, ic_t=ic_t, oc_s=oc_s, ic_s=ic_s,
-        valid=np.ones(len(edges), dtype=bool),
+        k=k + GROUP_BASES, keys=keys_p, mult=padi(mult, 0), rc=rc_p,
+        oc_t=padi(oc_t, np.int32(NULL)), ic_t=padi(ic_t, np.int32(NULL)),
+        oc_s=padi(oc_s, np.int32(NULL)), ic_s=padi(ic_s, np.int32(NULL)),
+        valid=np.concatenate([np.ones(e, bool), np.zeros(padn, bool)]),
     )
 
 
