@@ -28,8 +28,17 @@ LOG2_POS = 24  # 16.7M windows per step
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MEGAHIT_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/megahit_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from megahit_tpu.core import kmerops
 

@@ -116,6 +116,17 @@ def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
+    # persistent compilation cache: assemblies reuse kernels across
+    # stages, k values and runs (capacity padding keeps shapes stable)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MEGAHIT_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/megahit_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.no_hw_accel:
         args.platform = "cpu"
     if args.platform == "cpu" or (args.test_mode
