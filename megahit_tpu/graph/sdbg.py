@@ -101,47 +101,6 @@ class Sdbg:
 # ---------------------------------------------------------------------------
 
 
-def seq_window_table(starts: np.ndarray, k: int) -> tuple[np.ndarray, ...]:
-    """Positions, seq ids and in-seq offsets of all k-windows of seqs with
-    length >= k (the reference skips seqs shorter than one edge,
-    seq_to_sdbg.cpp:537-539 `seq_len < opt_.k + 1` with their k = our
-    k - 1: our window length k equals their edge length k+1)."""
-    lengths = np.diff(starts)
-    n_win = np.where(lengths >= k, lengths - k + 1, 0).astype(np.int64)
-    total = int(n_win.sum())
-    pos = np.empty(total, dtype=np.int32)
-    sid = np.empty(total, dtype=np.int32)
-    off = np.empty(total, dtype=np.int32)
-    out = 0
-    for i, (s, n) in enumerate(zip(starts[:-1], n_win)):
-        if n > 0:
-            pos[out : out + n] = np.arange(s, s + n, dtype=np.int32)
-            sid[out : out + n] = i
-            off[out : out + n] = np.arange(n, dtype=np.int32)
-            out += n
-    return pos, sid, off, n_win
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _extract_both_strands(packed, positions, mult_fwd, mult_rc, k):
-    fwd = kmerops.extract_kmers(packed, positions, k)
-    rc = kmerops.revcomp_kmers(fwd, k)
-    keys = jnp.concatenate([fwd, rc], axis=0)
-    mults = jnp.concatenate([mult_fwd, mult_rc], axis=0)
-    return keys, mults
-
-
-@jax.jit
-def _dedup_sorted_max(skeys, smult):
-    """head mask + per-group max multiplicity scattered to head rows."""
-    n = skeys.shape[0]
-    prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
-    head = jnp.any(skeys != prev, axis=-1).at[0].set(True)
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    gmax = jax.ops.segment_max(smult, seg, num_segments=n)
-    return head, gmax[seg] * head
-
-
 @functools.partial(jax.jit, static_argnames=("k", "n_group_words"))
 def _neighbor_tables(keys, k, n_group_words: int = 0):
     """rc index + the four (E,4) candidate tables via sort-joins.
@@ -229,6 +188,17 @@ def _neighbor_tables(keys, k, n_group_words: int = 0):
     return rc_idx, oc_t, ic_t, oc_s, ic_s
 
 
+@jax.jit
+def _dedup_sorted_max(skeys, smult):
+    """head mask + per-group max multiplicity scattered to head rows."""
+    n = skeys.shape[0]
+    prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
+    head = jnp.any(skeys != prev, axis=-1).at[0].set(True)
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    gmax = jax.ops.segment_max(smult, seg, num_segments=n)
+    return head, gmax[seg] * head
+
+
 def build_sdbg(
     flat_codes: np.ndarray,
     starts: np.ndarray,
@@ -255,40 +225,54 @@ def build_sdbg(
     extraction -> device lexicographic sort -> segment-max dedup ->
     batched binary-search neighbour tables.
     """
+    from .counter import window_valid_mask
+
     w = kmerops.words_per_kmer(k)
-    pos, sid, off, n_win = seq_window_table(starts, k)
-    n = len(pos)
+    n_bases = int(starts[-1])
+    if n_bases < k:
+        z4 = np.zeros((0, 4), dtype=np.int32)
+        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
+                    z4.copy(), np.zeros(0, bool))
+    valid_all = window_valid_mask(starts, k, n_bases)
+    n = int(valid_all.sum())
     if n == 0:
         z4 = np.zeros((0, 4), dtype=np.int32)
         return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
                     np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
                     z4.copy(), np.zeros(0, bool))
 
-    packed = jnp.asarray(pack_flat(flat_codes))
+    packed_np = np.concatenate(
+        [pack_flat(flat_codes), np.zeros(w + 1, dtype=np.uint32)]
+    )
+    packed = jnp.asarray(packed_np)
     seq_mults = np.asarray(seq_mults, dtype=np.int32)
-    mult_fwd = seq_mults[sid]
-    mult_rc = mult_fwd
+    mult_at = np.repeat(seq_mults, np.diff(starts))
 
+    # dense gather-free extraction (see counter.count_canonical_kmers),
+    # both strands via one revcomp of the compacted forward keys
+    n_dense = (len(packed_np) - w) * 16
+    chunk = max(1 << 16, batch_windows)
     chunks_k, chunks_m = [], []
-    for lo in range(0, n, batch_windows):
-        hi = min(n, lo + batch_windows)
-        npad = _pow2_pad(hi - lo)
-        p = np.zeros(npad, dtype=np.int32)
-        p[: hi - lo] = pos[lo:hi]
-        mf = np.zeros(npad, dtype=np.int32)
-        mf[: hi - lo] = mult_fwd[lo:hi]
-        mr = np.zeros(npad, dtype=np.int32)
-        mr[: hi - lo] = mult_rc[lo:hi]
-        kk, mm = _extract_both_strands(
-            packed, jnp.asarray(p), jnp.asarray(mf), jnp.asarray(mr), k
-        )
-        kk = np.asarray(kk)
-        mm = np.asarray(mm)
-        sel = np.concatenate([np.arange(hi - lo), npad + np.arange(hi - lo)])
-        chunks_k.append(kk[sel])
-        chunks_m.append(mm[sel])
+    for lo in range(0, n_bases, chunk):
+        hi = min(n_dense, lo + chunk)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        fwd = kmerops.extract_all_kmers(sub, k)
+        span = min(min(hi, n_bases) - lo, fwd.shape[0])
+        vm = valid_all[lo : lo + span]
+        fwd_c = jnp.asarray(np.asarray(fwd[:span])[vm])
+        rc_c = kmerops.revcomp_kmers(fwd_c, k)
+        chunks_k.append(np.asarray(fwd_c))
+        chunks_k.append(np.asarray(rc_c))
+        mm = mult_at[lo : lo + span][vm]
+        chunks_m.append(mm)
+        chunks_m.append(mm)
+        if hi >= n_dense:
+            break
     keys = np.concatenate(chunks_k, axis=0)
-    mults = np.concatenate(chunks_m, axis=0)
+    mults = np.concatenate(chunks_m, axis=0).astype(np.int32)
     return _finalize_sdbg(keys, mults, k, n_windows=n)
 
 
