@@ -341,6 +341,38 @@ def keys_to_u64(keys: np.ndarray, k: int) -> np.ndarray:
     return hi | lo
 
 
+def member_sorted_mt(table: np.ndarray, q: np.ndarray, pool=None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-threaded membership of q in a sorted 1-D table.
+
+    Returns (idx, found). np.searchsorted releases the GIL, so
+    splitting the query range across threads scales with host cores.
+    Pass a ThreadPoolExecutor to amortize pool setup across calls.
+    """
+    n = len(q)
+    idx = np.empty(n, dtype=np.int64)
+    found = np.zeros(n, dtype=bool)
+    if len(table) == 0 or n == 0:
+        return idx[:n], found
+
+    def one(sl):
+        i = np.searchsorted(table, q[sl])
+        return sl, i, table[np.minimum(i, len(table) - 1)] == q[sl]
+
+    parts = max(1, min(8, n // (1 << 18)))
+    if parts == 1 or pool is None:
+        sl = slice(0, n)
+        _, idx[sl], found[sl] = one(sl)
+        return idx, found
+    step = -(-n // parts)
+    for sl, i, f in pool.map(
+        one, [slice(a, min(n, a + step)) for a in range(0, n, step)]
+    ):
+        idx[sl] = i
+        found[sl] = f
+    return idx, found
+
+
 def searchsorted_keys(
     sorted_keys: jnp.ndarray, queries: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

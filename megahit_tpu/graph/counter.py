@@ -51,13 +51,15 @@ def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
     Companion to kmerops.extract_all_kmers: marks which of the dense
     all-offset keys are real windows. Built with a +1/-1 range paint.
     """
-    delta = np.zeros(n_pos + 1, dtype=np.int8)
+    # int32 delta: numpy's int8 cumsum takes a pathologically slow
+    # path (~100x) on large arrays
+    delta = np.zeros(n_pos + 1, dtype=np.int32)
     lengths = np.diff(starts)
     s = starts[:-1][lengths >= k]
     e = s + (lengths[lengths >= k] - k + 1)
     np.add.at(delta, s, 1)
     np.add.at(delta, np.minimum(e, n_pos), -1)
-    return np.cumsum(delta[:-1]) > 0
+    return np.cumsum(delta[:-1], dtype=np.int32) > 0
 
 
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:

@@ -76,32 +76,36 @@ def _node_sets_u64(solid_keys: np.ndarray, k1: int):
     return p, s
 
 
+def _member_mt(table: np.ndarray, q: np.ndarray, pool) -> np.ndarray:
+    _, found = kmerops.member_sorted_mt(table, q, pool)
+    return found
+
+
 def _flags_host_u64(
     packed, packed_np, solid_keys, k, k1, n_bases, chunk_bases
 ):
     """Host fast path (k <= 31): dense k-mers -> u64 -> np.searchsorted
     membership in the prefix/suffix node sets."""
+    from concurrent.futures import ThreadPoolExecutor
+
     pset, sset = _node_sets_u64(solid_keys, k1)
     w = kmerops.words_per_kmer(k1)
     has_in = np.zeros(n_bases, dtype=bool)
     has_out = np.zeros(n_bases, dtype=bool)
     n_dense = (len(packed_np) - w) * 16
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        kmers = np.asarray(kmerops.extract_all_kmers(sub, k))
-        span = min(min(hi, n_bases) - lo, len(kmers))
-        q = kmerops.keys_to_u64(kmers[:span], k)
-        ip = np.searchsorted(pset, q)
-        has_out[lo : lo + span] = pset[np.minimum(ip, len(pset) - 1)] == q \
-            if len(pset) else False
-        isx = np.searchsorted(sset, q)
-        has_in[lo : lo + span] = sset[np.minimum(isx, len(sset) - 1)] == q \
-            if len(sset) else False
-        if hi >= n_dense:
-            break
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for lo in range(0, n_bases, chunk_bases):
+            hi = min(n_dense, lo + chunk_bases)
+            lo_w = lo // 16
+            size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            kmers = np.asarray(kmerops.extract_all_kmers(sub, k))
+            span = min(min(hi, n_bases) - lo, len(kmers))
+            q = kmerops.keys_to_u64(kmers[:span], k)
+            has_out[lo : lo + span] = _member_mt(pset, q, pool)
+            has_in[lo : lo + span] = _member_mt(sset, q, pool)
+            if hi >= n_dense:
+                break
     return has_in, has_out
 
 

@@ -151,23 +151,23 @@ def map_reads(
     hit = np.full(n_bases, NULL, dtype=np.int32)
     qrc = np.zeros(n_bases, dtype=bool)
     n_dense = (len(packed_np) - w) * 16
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        canon, is_rc = _seed_canon(sub, seed_k)
-        canon, is_rc = np.asarray(canon), np.asarray(is_rc)
-        span = min(min(hi, n_bases) - lo, len(canon))
-        q = kmerops.keys_to_u64(canon[:span], seed_k)
-        pos = np.searchsorted(ikeys_u64, q)
-        safe = np.minimum(pos, max(len(ikeys_u64) - 1, 0))
-        found = (ikeys_u64[safe] == q) if len(ikeys_u64) else \
-            np.zeros(span, bool)
-        hit[lo : lo + span] = np.where(found, safe, NULL)
-        qrc[lo : lo + span] = is_rc[:span]
-        if hi >= n_dense:
-            break
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for lo in range(0, n_bases, chunk_bases):
+            hi = min(n_dense, lo + chunk_bases)
+            lo_w = lo // 16
+            size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            canon, is_rc = _seed_canon(sub, seed_k)
+            canon, is_rc = np.asarray(canon), np.asarray(is_rc)
+            span = min(min(hi, n_bases) - lo, len(canon))
+            q = kmerops.keys_to_u64(canon[:span], seed_k)
+            pos, found = kmerops.member_sorted_mt(ikeys_u64, q, pool)
+            hit[lo : lo + span] = np.where(found, pos, NULL)
+            qrc[lo : lo + span] = is_rc[:span]
+            if hi >= n_dense:
+                break
     valid = window_valid_mask(starts, seed_k, n_bases)
     hit[~valid] = NULL
 
@@ -212,9 +212,14 @@ def map_reads(
         x[ok] for x in (sel, rid, cid, cfrom, cto, qfrom, qto, mstrand)
     )
 
-    # dedup candidates per read
+    # dedup candidates per read (lexsort + row-diff; np.unique(axis=0)
+    # takes a slow void-dtype sort path)
     cand = np.stack([rid, cid, cfrom, cto, qfrom, qto, mstrand], axis=1)
-    cand = np.unique(cand, axis=0)
+    order = np.lexsort(tuple(cand[:, i] for i in range(6, -1, -1)))
+    cand = cand[order]
+    keep = np.ones(len(cand), dtype=bool)
+    keep[1:] = (cand[1:] != cand[:-1]).any(axis=1)
+    cand = cand[keep]
     rid, cid, cfrom, cto, qfrom, qto, mstrand = cand.T
     n_cand = len(rid)
     if n_cand == 0:
