@@ -15,8 +15,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core import packing
-from .fastx import read_fastx
 
 
 @dataclass

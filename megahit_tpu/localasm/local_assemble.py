@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import packing
 from ..io.contig_io import ContigRecord
 from ..io.lib import SequenceLib
 from ..utils.log import get_logger
-from .mapper import MapResult, SeedIndex, build_seed_index, map_reads
+from .mapper import MapResult, build_seed_index, map_reads
 from .mini_asm import mini_assemble
 
 MAX_LOCAL_RANGE = 650  # reference kMaxLocalRange (local_assemble.cpp:25)

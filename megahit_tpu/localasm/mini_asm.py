@@ -28,7 +28,7 @@ import numpy as np
 from ..core import kmerops, packing
 from ..graph import cleaning
 from ..graph.counter import pack_flat, window_valid_mask
-from ..graph.sdbg import NULL, Sdbg, _finalize_sdbg
+from ..graph.sdbg import NULL, Sdbg
 from ..graph.unitig import UnitigGraph, build_unitig_graph, refresh
 from ..utils.log import get_logger
 

@@ -20,7 +20,6 @@ capacity virtually never overflows.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
