@@ -134,6 +134,123 @@ def make_sharded_counter(mesh: Mesh, k1: int, axis: str = "shard",
     return jax.jit(step)
 
 
+def make_sharded_sorter(mesh: Mesh, w: int, axis: str = "shard",
+                        capacity_factor: float = 2.5):
+    """Distributed sample sort of (N, W) multi-word keys over `mesh`.
+
+    The scale-out replacement for the graph-build sort (reference: the
+    bucket-sharded CX1 output files merged by bucket metadata,
+    edge_io_meta.h): each chip sorts its shard, samples splitters,
+    all_gathers them, routes rows to owner chips by splitter bin with
+    one capacity-bounded all_to_all, and locally sorts again - the
+    concatenation of per-chip results is globally sorted.
+
+    Returns fn(keys_shards, valid_shards) -> (sorted keys per shard,
+    valid mask per shard, overflow count).
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    def step(keys, valid):
+        b = keys.shape[1]  # per-device rows
+        capacity = max(16, int(np.ceil(b * capacity_factor / n_dev)))
+        n_samples = 32 * n_dev
+
+        def local(keys, valid):
+            k = keys.reshape(b, w)
+            v = valid.reshape(b)
+            sentinel = jnp.full_like(k, 0xFFFFFFFF)
+            k = jnp.where(v[:, None], k, sentinel)
+            sk, sv = kmerops.sort_keys_with_payload(k, v)
+
+            # evenly-spaced local samples -> global splitters
+            stride = max(1, b // n_samples)
+            samples = sk[::stride][:n_samples]
+            all_samples = jax.lax.all_gather(
+                samples, axis, axis=0, tiled=True
+            )
+            ssamp = kmerops.sort_keys_with_payload(all_samples)[0]
+            # n_dev-1 splitters at even quantiles
+            step_q = ssamp.shape[0] // n_dev
+            splitters = ssamp[step_q::step_q][: n_dev - 1]
+
+            # destination = number of splitters <= row (searchsorted
+            # over a tiny array: n_dev-1 compares, unrolled)
+            dst = jnp.zeros(b, jnp.int32)
+            for i in range(n_dev - 1):
+                le = ~kmerops.lex_less(
+                    sk, jnp.broadcast_to(splitters[i], sk.shape)
+                )  # row >= splitter_i
+                dst = dst + le.astype(jnp.int32)
+            dst = jnp.where(sv, dst, n_dev)
+
+            # capacity-bounded routing (same machinery as the counter)
+            idx = jnp.arange(b, dtype=jnp.int32)
+            head = jnp.concatenate(
+                [jnp.ones(1, bool), dst[1:] != dst[:-1]]
+            )
+            group_start = jnp.where(head, idx, 0)
+            group_start = jax.lax.associative_scan(
+                jnp.maximum, group_start
+            )
+            rank = idx - group_start
+            ok = (dst < n_dev) & (rank < capacity)
+            n_over = jnp.sum((dst < n_dev) & (rank >= capacity))
+            flat_pos = jnp.where(
+                ok, dst * capacity + rank, n_dev * capacity
+            )
+            buf = jnp.full((n_dev * capacity + 1, w), 0xFFFFFFFF, U32)
+            buf = buf.at[flat_pos].set(sk, mode="drop")
+            buf = buf[:-1].reshape(n_dev, capacity, w)
+            recv = jax.lax.all_to_all(
+                buf, axis, split_axis=0, concat_axis=0, tiled=False
+            ).reshape(n_dev * capacity, w)
+            rvalid = jnp.any(recv != U32(0xFFFFFFFF), axis=-1)
+            out_k, out_v = kmerops.sort_keys_with_payload(recv, rvalid)
+            n_over = jax.lax.psum(n_over, axis)
+            return (out_k[None], out_v[None],
+                    jnp.full((1,), n_over, jnp.int32))
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+        return fn(keys, valid)
+
+    return jax.jit(step)
+
+
+def sharded_sort_kmers(
+    keys: np.ndarray, mesh: Mesh, axis: str = "shard",
+) -> np.ndarray:
+    """Globally sort (N, W) keys across the mesh; host wrapper.
+
+    Sentinel (all-ones) rows are treated as padding and dropped."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    n, w = keys.shape
+    npad = -(-n // n_dev) * n_dev
+    kp = np.full((npad, w), 0xFFFFFFFF, np.uint32)
+    kp[:n] = keys
+    vp = np.zeros(npad, dtype=bool)
+    vp[:n] = ~np.all(keys == 0xFFFFFFFF, axis=1)
+
+    shard = NamedSharding(mesh, P(axis))
+    kd = jax.device_put(
+        jnp.asarray(kp.reshape(n_dev, npad // n_dev, w)), shard
+    )
+    vd = jax.device_put(
+        jnp.asarray(vp.reshape(n_dev, npad // n_dev)), shard
+    )
+    fn = make_sharded_sorter(mesh, w, axis)
+    out_k, out_v, n_over = fn(kd, vd)
+    assert int(np.asarray(n_over)[0]) == 0, (
+        "sample-sort capacity overflow; raise capacity_factor"
+    )
+    out_k = np.asarray(out_k).reshape(-1, w)
+    out_v = np.asarray(out_v).reshape(-1)
+    return out_k[out_v]
+
+
 def sharded_count_kmers(
     flat_codes: np.ndarray,
     starts: np.ndarray,

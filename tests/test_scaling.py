@@ -42,3 +42,15 @@ def test_sharded_count_weak_scaling_smoke():
         eff = base / dt if dt > 0 else 0.0
         print(f"weak-scaling n_dev={n_dev}: {dt*1e3:.0f} ms "
               f"(eff vs 1-dev: {eff:.2f})")
+
+
+def test_sharded_sample_sort_matches_global_sort():
+    from megahit_tpu.parallel.shuffle import sharded_sort_kmers
+
+    for n_dev in (1, 4, 8):
+        keys = RNG.integers(0, 2**32, size=(5000, 2), dtype=np.uint32)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("shard",))
+        got = sharded_sort_kmers(keys, mesh)
+        order = np.lexsort((keys[:, 1], keys[:, 0]))
+        want = keys[order]
+        np.testing.assert_array_equal(got, want)
