@@ -241,6 +241,12 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
     unitig_graph.cpp:210-355, redesigned as a full deterministic rebuild).
     """
     s = graph.sdbg
+    if not (graph.to_delete.any() or graph.to_disconnect_fwd.any()
+            or graph.to_disconnect_rc.any()):
+        # nothing marked: the rebuild would reproduce this graph
+        # exactly (and `changed` is already correct for both modes) -
+        # skip the full pointer-doubling rebuild
+        return graph
     # weak-link disconnect: drop the first edge of the marked strand
     # (reference RefreshDisconnected, unitig_graph.cpp:141-208)
     n_marks = (graph.to_disconnect_fwd.astype(int)
