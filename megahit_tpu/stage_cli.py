@@ -1,0 +1,275 @@
+"""Per-stage subcommands: the analogue of megahit_core's argv mux
+(reference src/main.cpp:43-110 - buildlib/count/seq2sdbg/assemble/
+local/iterate, plus the toolkit in megahit_tpu.tools).
+
+Each stage reads/writes explicit file artifacts, so stages can be run,
+inspected and resumed independently of the full driver:
+
+  python -m megahit_tpu.stage_cli buildlib -1 a_1.fq -2 a_2.fq -o lib.npz
+  python -m megahit_tpu.stage_cli count --lib lib.npz -k 21 -m 2 -o k21
+  python -m megahit_tpu.stage_cli seq2sdbg --edges k21.edges.npz -k 21 \
+      --need-mercy --lib lib.npz -o k21.sdbg.npz
+  python -m megahit_tpu.stage_cli assemble -s k21.sdbg.npz -o k21
+  python -m megahit_tpu.stage_cli local -c k21.contigs.fa --lib lib.npz \
+      --kmax 41 -o k21.local.fa
+  python -m megahit_tpu.stage_cli iterate -c k21.contigs.fa \
+      -b k21.bubble_seq.fa --lib lib.npz -k 21 -s 20 -o k41
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def cmd_buildlib(args) -> int:
+    from .io.lib import build_lib
+
+    def split(v):
+        return [x for s in v for x in s.split(",") if x]
+
+    lib = build_lib(split(args.pe1), split(args.pe2), split(args.pe12),
+                    split(args.se))
+    lib.save(args.output)
+    print(f"{lib.num_seqs} seqs, {lib.num_bases} bases -> {args.output}")
+    return 0
+
+
+def cmd_count(args) -> int:
+    from .graph.counter import count_canonical_kmers
+    from .io.lib import SequenceLib
+
+    lib = SequenceLib.load(args.lib)
+    k1 = args.kmer_k + 1
+    keys, counts = count_canonical_kmers(
+        lib.flat_codes, lib.starts, k1, args.min_count
+    )
+    np.savez_compressed(args.output + ".edges.npz", keys=keys,
+                        counts=counts)
+    vals, cnts = np.unique(counts, return_counts=True)
+    with open(args.output + ".counting", "w") as fh:
+        for v, c in zip(vals, cnts):
+            fh.write(f"{v} {c}\n")
+    print(f"{len(keys)} solid ({args.kmer_k}+1)-mers -> "
+          f"{args.output}.edges.npz")
+    return 0
+
+
+def cmd_seq2sdbg(args) -> int:
+    from .core import packing
+    from .graph.mercy import find_mercy_edges
+    from .graph.sdbg import build_sdbg, sdbg_from_edges, _finalize_sdbg
+    from .core import kmerops
+    from .io.contig_io import read_contigs
+    from .io.lib import SequenceLib
+    import jax.numpy as jnp
+
+    km = args.kmer_k + 1
+    edge_keys = edge_counts = None
+    if args.edges:
+        z = np.load(args.edges)
+        edge_keys, edge_counts = z["keys"], z["counts"]
+        if args.need_mercy:
+            if not args.lib:
+                print("--need-mercy requires --lib", file=sys.stderr)
+                return 1
+            lib = SequenceLib.load(args.lib)
+            mercy = find_mercy_edges(
+                lib.flat_codes, lib.starts, edge_keys, km
+            )
+            if len(mercy):
+                edge_keys = np.concatenate([edge_keys, mercy])
+                edge_counts = np.concatenate(
+                    [edge_counts, np.ones(len(mercy), np.int32)]
+                )
+
+    seqs, mults = [], []
+    for path, extend in ((args.contig, True), (args.bubble, False),
+                         (args.addi_contig, False),
+                         (args.local_contig, False)):
+        if not path:
+            continue
+        for r in read_contigs(
+            path, min_len=km,
+            extend_loop_k=(args.kmer_from, args.kmer_k) if extend
+            else None,
+        ):
+            seqs.append(r.codes)
+            mults.append(max(1.0, r.multi))
+
+    if seqs:
+        flat, starts = packing.pack_many(seqs)
+        sdbg = build_sdbg(
+            flat, starts, np.round(np.asarray(mults)).astype(np.int32),
+            km,
+        )
+        if edge_keys is not None and len(edge_keys):
+            rc = np.asarray(
+                kmerops.revcomp_kmers(jnp.asarray(edge_keys), km)
+            )
+            all_k = np.concatenate(
+                [sdbg.keys[sdbg.valid], edge_keys, rc]
+            )
+            all_m = np.concatenate([
+                sdbg.mult[sdbg.valid], edge_counts, edge_counts,
+            ]).astype(np.int32)
+            sdbg = _finalize_sdbg(all_k, all_m, km,
+                                  n_windows=len(all_k))
+    elif edge_keys is not None:
+        sdbg = sdbg_from_edges(edge_keys, edge_counts, km)
+    else:
+        print("no inputs (--edges/--contig/...)", file=sys.stderr)
+        return 1
+    sdbg.save(args.output)
+    print(f"sdbg k={km} ({sdbg.num_valid()} edges) -> {args.output}")
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    from .graph.sdbg import Sdbg
+    from .io.contig_io import write_contigs
+    from .pipeline.assemble import AssembleOptions, assemble
+
+    sdbg = Sdbg.load(args.sdbg)
+    opt = AssembleOptions(
+        min_standalone=args.min_standalone,
+        prune_level=args.prune_level,
+        min_depth=args.min_depth,
+        max_tip_len=args.max_tip_len,
+        bubble_level=args.bubble_level,
+        merge_len=args.merge_len,
+        merge_similar=args.merge_similar,
+        cleaning_rounds=args.cleaning_rounds,
+        disconnect_ratio=args.disconnect_ratio,
+        low_local_ratio=args.low_local_ratio,
+        is_final_round=args.is_final_round,
+        careful_bubble=args.careful_bubble,
+        output_standalone=args.output_standalone,
+    )
+    res = assemble(sdbg, opt)
+    write_contigs(args.output + ".contigs.fa", res.contigs)
+    write_contigs(args.output + ".final.contigs.fa", res.final_contigs)
+    write_contigs(args.output + ".addi.fa", res.addi_contigs)
+    write_contigs(args.output + ".bubble_seq.fa", res.bubbles)
+    print(f"{len(res.contigs)} contigs -> {args.output}.contigs.fa")
+    return 0
+
+
+def cmd_local(args) -> int:
+    from .io.contig_io import read_contigs, write_contigs
+    from .io.lib import SequenceLib
+    from .localasm.local_assemble import run_local_assembly
+
+    lib = SequenceLib.load(args.lib)
+    contigs = read_contigs(args.contig)
+    out = run_local_assembly(lib, contigs, local_kmax=args.kmax)
+    write_contigs(args.output, out)
+    print(f"{len(out)} local contigs -> {args.output}")
+    return 0
+
+
+def cmd_iterate(args) -> int:
+    from .graph.iterate import build_flank_index, find_next_kmers
+    from .io.contig_io import read_contigs
+    from .io.lib import SequenceLib
+
+    lib = SequenceLib.load(args.lib)
+    contigs, muls = [], []
+    for path in (args.contig, args.bubble):
+        if path:
+            for r in read_contigs(path):
+                contigs.append(r.codes)
+                muls.append(max(1.0, r.multi))
+    index = build_flank_index(contigs, muls, args.kmer_k, args.step)
+    keys, counts = find_next_kmers(lib.flat_codes, lib.starts, index)
+    np.savez_compressed(args.output + ".edges.npz", keys=keys,
+                        counts=counts)
+    print(f"{len(keys)} junction edges -> {args.output}.edges.npz")
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="megahit_tpu.stage_cli")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                   default="auto",
+                   help="JAX backend (cpu recommended for small "
+                   "inputs / remote-tunneled TPUs)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("buildlib")
+    b.add_argument("-1", dest="pe1", action="append", default=[])
+    b.add_argument("-2", dest="pe2", action="append", default=[])
+    b.add_argument("--12", dest="pe12", action="append", default=[])
+    b.add_argument("-r", dest="se", action="append", default=[])
+    b.add_argument("-o", "--output", required=True)
+    b.set_defaults(fn=cmd_buildlib)
+
+    c = sub.add_parser("count")
+    c.add_argument("--lib", required=True)
+    c.add_argument("-k", dest="kmer_k", type=int, required=True)
+    c.add_argument("-m", dest="min_count", type=int, default=2)
+    c.add_argument("-o", "--output", required=True)
+    c.set_defaults(fn=cmd_count)
+
+    s = sub.add_parser("seq2sdbg")
+    s.add_argument("--edges")
+    s.add_argument("--contig")
+    s.add_argument("--bubble")
+    s.add_argument("--addi-contig")
+    s.add_argument("--local-contig")
+    s.add_argument("--lib")
+    s.add_argument("--need-mercy", action="store_true")
+    s.add_argument("-k", dest="kmer_k", type=int, required=True)
+    s.add_argument("--kmer-from", type=int, default=0)
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_seq2sdbg)
+
+    a = sub.add_parser("assemble")
+    a.add_argument("-s", "--sdbg", required=True)
+    a.add_argument("-o", "--output", required=True)
+    a.add_argument("--min-standalone", type=int, default=200)
+    a.add_argument("--prune-level", type=int, default=2)
+    a.add_argument("--min-depth", type=float, default=-1)
+    a.add_argument("--max-tip-len", type=int, default=-1)
+    a.add_argument("--bubble-level", type=int, default=2)
+    a.add_argument("--merge-len", type=int, default=20)
+    a.add_argument("--merge-similar", type=float, default=0.95)
+    a.add_argument("--cleaning-rounds", type=int, default=5)
+    a.add_argument("--disconnect-ratio", type=float, default=0.1)
+    a.add_argument("--low-local-ratio", type=float, default=0.2)
+    a.add_argument("--is-final-round", action="store_true")
+    a.add_argument("--careful-bubble", action="store_true")
+    a.add_argument("--output-standalone", action="store_true")
+    a.set_defaults(fn=cmd_assemble)
+
+    lo = sub.add_parser("local")
+    lo.add_argument("-c", "--contig", required=True)
+    lo.add_argument("--lib", required=True)
+    lo.add_argument("--kmax", type=int, default=41)
+    lo.add_argument("-o", "--output", required=True)
+    lo.set_defaults(fn=cmd_local)
+
+    it = sub.add_parser("iterate")
+    it.add_argument("-c", "--contig", required=True)
+    it.add_argument("-b", "--bubble")
+    it.add_argument("--lib", required=True)
+    it.add_argument("-k", dest="kmer_k", type=int, required=True)
+    it.add_argument("-s", "--step", type=int, required=True)
+    it.add_argument("-o", "--output", required=True)
+    it.set_defaults(fn=cmd_iterate)
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
