@@ -145,7 +145,7 @@ class Pipeline:
                 counts = np.concatenate(
                     [counts, np.ones(len(mercy), np.int32)]
                 )
-        np.savez_compressed(
+        np.savez(
             self.graph_prefix(o.k_min) + ".edges.npz",
             keys=keys, counts=counts,
         )
@@ -287,7 +287,7 @@ class Pipeline:
         keys, counts = it.find_next_kmers(
             lib.flat_codes, lib.starts, index
         )
-        np.savez_compressed(
+        np.savez(
             self.graph_prefix(next_k) + ".edges.npz",
             keys=keys, counts=counts,
         )

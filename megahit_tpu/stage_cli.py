@@ -46,7 +46,7 @@ def cmd_count(args) -> int:
     keys, counts = count_canonical_kmers(
         lib.flat_codes, lib.starts, k1, args.min_count
     )
-    np.savez_compressed(args.output + ".edges.npz", keys=keys,
+    np.savez(args.output + ".edges.npz", keys=keys,
                         counts=counts)
     vals, cnts = np.unique(counts, return_counts=True)
     with open(args.output + ".counting", "w") as fh:
@@ -184,7 +184,7 @@ def cmd_iterate(args) -> int:
                 muls.append(max(1.0, r.multi))
     index = build_flank_index(contigs, muls, args.kmer_k, args.step)
     keys, counts = find_next_kmers(lib.flat_codes, lib.starts, index)
-    np.savez_compressed(args.output + ".edges.npz", keys=keys,
+    np.savez(args.output + ".edges.npz", keys=keys,
                         counts=counts)
     print(f"{len(keys)} junction edges -> {args.output}.edges.npz")
     return 0
