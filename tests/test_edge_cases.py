@@ -98,3 +98,25 @@ def test_histogram_stats():
     )
     # counts by value: 1->50, 2->5, 5->30; first local min at 2
     assert hist.first_local_minimum() == 2
+
+
+def test_prune_level_3(tmp_path):
+    """Reference simple_test runs --prune-level 3 --prune-depth 0
+    (CMakeLists.txt:108); exercises the RemoveLowDepth + re-bubble
+    branch of the cleaning loop."""
+    import gzip
+
+    genome = RNG.integers(0, 4, size=2000).astype(np.uint8)
+    p = tmp_path / "r.fa.gz"
+    with gzip.open(p, "wt") as fh:
+        for i in range(0, 1900, 2):
+            fh.write(f">r{i}\n{packing.decode(genome[i:i+100])}\n")
+    out = str(tmp_path / "out")
+    rc = main(["-r", str(p), "-o", out, "--k-list", "21,41",
+               "--no-local", "--prune-level", "3", "--prune-depth", "0",
+               "--min-contig-len", "500"])
+    assert rc == 0
+    from megahit_tpu.io.contig_io import read_contigs
+
+    finals = read_contigs(os.path.join(out, "final.contigs.fa"))
+    assert len(finals) == 1 and finals[0].length > 1800

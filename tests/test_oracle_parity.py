@@ -140,3 +140,52 @@ def test_two_genomes_with_repeat_parity(ref_megahit, tmp_path):
     total_ref = sum(len(s) for s in ref_set)
     total_our = sum(len(s) for s in our_set)
     assert abs(total_ref - total_our) < 0.02 * max(total_ref, total_our)
+
+
+def test_mock_community_parity(ref_megahit, tmp_path):
+    """Metagenome parity: abundance-skewed community, meta-sensitive;
+    both assemblers must recover the same genome content."""
+    import gzip
+
+    rng = np.random.default_rng(777)
+    sizes = [80_000, 50_000, 30_000]
+    covs = [30, 10, 4]
+    genomes = [rng.integers(0, 4, s).astype(np.uint8) for s in sizes]
+    p1 = str(tmp_path / "r1.fa.gz")
+    p2 = str(tmp_path / "r2.fa.gz")
+    insert, rl = 300, 100
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        n = 0
+        for g, cov in zip(genomes, covs):
+            stride = max(1, (2 * rl) // cov)
+            for s in range(0, len(g) - insert, stride):
+                frag = g[s : s + insert]
+                f1.write(f">m{n}/1\n{packing.decode(frag[:rl])}\n")
+                f2.write(
+                    f">m{n}/2\n"
+                    f"{packing.decode(packing.revcomp_codes(frag[-rl:]))}\n"
+                )
+                n += 1
+    args = ["-1", p1, "-2", p2, "--presets", "meta-sensitive",
+            "--k-list", "21,41,61", "--min-contig-len", "500"]
+    ref = _run_ref(ref_megahit, args, str(tmp_path / "ref_out"))
+    ours = _run_ours(args, str(tmp_path / "our_out"))
+
+    def coverage(finals, g):
+        gs = packing.decode(g)
+        covered = np.zeros(len(g), bool)
+        for c in finals:
+            for m in (packing.decode(c.codes),
+                      packing.decode(packing.revcomp_codes(c.codes))):
+                p = gs.find(m)
+                if p >= 0:
+                    covered[p : p + len(m)] = True
+                    break
+        return covered.mean()
+
+    for i, g in enumerate(genomes):
+        rcov = coverage(ref, g)
+        ocov = coverage(ours, g)
+        assert ocov >= rcov - 0.02, (
+            f"genome {i}: ours {ocov:.2%} vs reference {rcov:.2%}"
+        )
