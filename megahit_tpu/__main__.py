@@ -46,6 +46,9 @@ def make_parser() -> argparse.ArgumentParser:
                    "host threads)")
     h.add_argument("--no-hw-accel", action="store_true",
                    help="reference parity alias for --platform cpu")
+    h.add_argument("--mesh", dest="use_mesh", action="store_true",
+                   help="shard k-mer counting over all local devices "
+                   "(hash-routed all_to_all over ICI)")
 
     a = p.add_argument_group("assembly options")
     a.add_argument("--presets", choices=["meta-sensitive", "meta-large"])
@@ -177,7 +180,7 @@ def main(argv=None) -> int:
         continue_mode=args.continue_mode,
         verbose=args.verbose,
         k_min=args.k_min, k_max=args.k_max, k_step=args.k_step,
-        memory=args.memory,
+        memory=args.memory, use_mesh=args.use_mesh,
     )
     if args.presets:
         opt.apply_preset(args.presets)

@@ -133,10 +133,24 @@ class Pipeline:
         o = self.opt
         lib = self._load_lib()
         k1 = o.k_min + 1
-        keys, counts = count_canonical_kmers(
-            lib.flat_codes, lib.starts, k1, o.min_count,
-            batch_windows=self._batch_windows(),
-        )
+        if o.use_mesh:
+            import jax
+
+            from ..parallel.multihost import global_shard_mesh
+            from ..parallel.shuffle import sharded_count_kmers
+
+            mesh = global_shard_mesh()
+            self.log.info(
+                "mesh counting over %d devices", jax.device_count()
+            )
+            keys, counts = sharded_count_kmers(
+                lib.flat_codes, lib.starts, k1, o.min_count, mesh
+            )
+        else:
+            keys, counts = count_canonical_kmers(
+                lib.flat_codes, lib.starts, k1, o.min_count,
+                batch_windows=self._batch_windows(),
+            )
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
         if not o.no_mercy:
             mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys, k1)
