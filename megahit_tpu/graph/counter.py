@@ -78,6 +78,34 @@ def _extract_canonical_dense(packed, k):
     return canon
 
 
+@functools.partial(jax.jit, static_argnames=("k1", "cap"))
+def _count_device_fused(packed, pm, k1, cap):
+    """Single-shot on-device count with device-side compaction.
+
+    The production TPU path: extract+canonicalize (pallas), sort, count
+    and scatter-compact the DISTINCT rows into a cap-sized buffer - the
+    host receives ~E rows instead of all N sorted keys (E << N for
+    high-coverage data). Returns (keys (cap, W) sentinel-padded, counts
+    (cap,), n_distinct); caller falls back when n_distinct > cap."""
+    from ..core.pallas_kernels import canonical_all_kmers_pallas
+
+    cols = canonical_all_kmers_pallas(packed, k1)
+    w = cols.shape[0]
+    sent = jnp.uint32(0xFFFFFFFF)
+    ops = tuple(jnp.where(pm, cols[i], sent) for i in range(w))
+    out = jax.lax.sort(ops + (pm,), num_keys=w, is_stable=False)
+    skeys = jnp.stack(out[:w], axis=-1)
+    svalid = out[w]
+    head, counts = kmerops.count_sorted_runs(skeys, svalid)
+    pos = jnp.cumsum(head.astype(jnp.int32)) - 1
+    tgt = jnp.where(head & (pos < cap), pos, cap)
+    out_keys = jnp.full((cap + 1, w), sent, jnp.uint32) \
+        .at[tgt].set(skeys, mode="drop")[:cap]
+    out_counts = jnp.zeros(cap + 1, jnp.int32) \
+        .at[tgt].set(counts, mode="drop")[:cap]
+    return out_keys, out_counts, jnp.sum(head)
+
+
 _count_sorted_runs = jax.jit(kmerops.count_sorted_runs)
 
 
@@ -119,6 +147,34 @@ def count_canonical_kmers(
     use_pallas = jax.default_backend() not in ("cpu",)
     n_dense = (len(packed_np) - w) * 16
     chunk = max(1 << 16, batch_windows)
+
+    if use_pallas and n_bases <= chunk:
+        # single-shot fused device path: the host receives only the
+        # ~E distinct rows instead of all N sorted keys
+        from ..core.pallas_kernels import phase_grouped_mask
+
+        q = len(packed_np) - w
+        vm = np.zeros(q * 16, dtype=bool)
+        span = min(q * 16, n_bases)
+        vm[:span] = valid_all[:span]
+        pm = phase_grouped_mask(vm)
+        cap = _pow2_pad(max(n // 4, 1 << 16))
+        keys_c, counts_c, nd = _count_device_fused(
+            packed, jnp.asarray(pm), k1, cap
+        )
+        nd = int(nd)
+        if nd <= cap:
+            out_keys = np.asarray(keys_c[:nd])
+            out_counts = np.asarray(counts_c[:nd])
+            keep = out_counts >= min_count
+            log.debug(
+                "count (fused): %d windows -> %d distinct, %d solid",
+                n, nd, int(keep.sum()),
+            )
+            return (out_keys[keep],
+                    np.minimum(out_counts[keep], KMAX_MUL).astype(np.int32))
+        log.debug("fused count capacity %d < distinct %d; falling back",
+                  cap, nd)
     chunks = []
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)
