@@ -242,6 +242,29 @@ def build_sdbg(
                     np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
                     z4.copy(), np.zeros(0, bool))
 
+    keys, mults = window_edge_multiset(
+        flat_codes, starts, seq_mults, k, valid_all, batch_windows
+    )
+    return _finalize_sdbg(keys, mults, k, n_windows=n)
+
+
+def window_edge_multiset(
+    flat_codes: np.ndarray,
+    starts: np.ndarray,
+    seq_mults: np.ndarray,
+    k: int,
+    valid_all: np.ndarray | None = None,
+    batch_windows: int = 1 << 21,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw both-strand edge multiset (keys, mults) of all k-windows -
+    the pre-finalize half of build_sdbg, exposed so callers can merge
+    several edge sources into ONE finalize (sort + join) pass."""
+    from .counter import window_valid_mask
+
+    w = kmerops.words_per_kmer(k)
+    n_bases = int(starts[-1])
+    if valid_all is None:
+        valid_all = window_valid_mask(starts, k, n_bases)
     packed_np = np.concatenate(
         [pack_flat(flat_codes), np.zeros(w + 1, dtype=np.uint32)]
     )
@@ -273,7 +296,7 @@ def build_sdbg(
             break
     keys = np.concatenate(chunks_k, axis=0)
     mults = np.concatenate(chunks_m, axis=0).astype(np.int32)
-    return _finalize_sdbg(keys, mults, k, n_windows=n)
+    return keys, mults
 
 
 def sdbg_from_edges(

@@ -249,30 +249,27 @@ class Pipeline:
                 raise EarlyTerminate(k_from)
 
         if seqs:
+            from ..graph.sdbg import _finalize_sdbg, window_edge_multiset
+
             flat, starts = packing.pack_many(seqs)
-            sdbg = build_sdbg(
+            keys, kmults = window_edge_multiset(
                 flat, starts,
                 np.round(np.asarray(mults)).astype(np.int32), km,
             )
             if edge_keys is not None and len(edge_keys):
-                # merge edge inputs into the window-derived edge set by
-                # rebuilding from the union of both edge multisets
-                from ..graph.sdbg import _finalize_sdbg
+                # union the contig-window multiset with the edge-file
+                # inputs BEFORE the single finalize (sort + join) pass
                 import jax.numpy as jnp
                 from ..core import kmerops
 
                 rc = np.asarray(
                     kmerops.revcomp_kmers(jnp.asarray(edge_keys), km)
                 )
-                all_keys = np.concatenate(
-                    [sdbg.keys[sdbg.valid], edge_keys, rc], axis=0
-                )
-                all_mults = np.concatenate([
-                    sdbg.mult[sdbg.valid], edge_counts, edge_counts,
-                ]).astype(np.int32)
-                sdbg = _finalize_sdbg(all_keys, all_mults, km,
-                                      n_windows=len(all_keys))
-            return sdbg
+                keys = np.concatenate([keys, edge_keys, rc], axis=0)
+                kmults = np.concatenate(
+                    [kmults, edge_counts, edge_counts]
+                ).astype(np.int32)
+            return _finalize_sdbg(keys, kmults, km, n_windows=len(keys))
         if edge_keys is not None:
             return sdbg_from_edges(edge_keys, edge_counts, km)
         return sdbg_from_edges(
