@@ -145,6 +145,11 @@ def make_sharded_sorter(mesh: Mesh, w: int, axis: str = "shard",
     one capacity-bounded all_to_all, and locally sorts again - the
     concatenation of per-chip results is globally sorted.
 
+    Ties are broken by an appended (device, rank) word before splitting
+    so runs of equal keys (poly-A-like data) spread evenly across bins
+    instead of overflowing one chip; the word refines key order, so
+    global sortedness is preserved.
+
     Returns fn(keys_shards, valid_shards) -> (sorted keys per shard,
     valid mask per shard, overflow count).
     """
@@ -162,9 +167,18 @@ def make_sharded_sorter(mesh: Mesh, w: int, axis: str = "shard",
             k = jnp.where(v[:, None], k, sentinel)
             sk, sv = kmerops.sort_keys_with_payload(k, v)
 
-            # evenly-spaced local samples -> global splitters
-            stride = max(1, b // n_samples)
-            samples = sk[::stride][:n_samples]
+            # tie-break word: globally unique, uniform across devices
+            # for equal keys (rank-major so equal keys interleave)
+            dev = jax.lax.axis_index(axis).astype(jnp.uint32)
+            tie = (jnp.arange(b, dtype=jnp.uint32) * jnp.uint32(n_dev)
+                   + dev)
+            ska = jnp.concatenate([sk, tie[:, None]], axis=1)
+
+            # evenly-spaced local samples spanning the WHOLE shard
+            # (a strided prefix skews splitters when b > n_samples*stride)
+            sample_idx = (jnp.arange(n_samples, dtype=jnp.int32)
+                          * b) // n_samples
+            samples = ska[sample_idx]
             all_samples = jax.lax.all_gather(
                 samples, axis, axis=0, tiled=True
             )
@@ -178,7 +192,7 @@ def make_sharded_sorter(mesh: Mesh, w: int, axis: str = "shard",
             dst = jnp.zeros(b, jnp.int32)
             for i in range(n_dev - 1):
                 le = ~kmerops.lex_less(
-                    sk, jnp.broadcast_to(splitters[i], sk.shape)
+                    ska, jnp.broadcast_to(splitters[i], ska.shape)
                 )  # row >= splitter_i
                 dst = dst + le.astype(jnp.int32)
             dst = jnp.where(sv, dst, n_dev)
@@ -243,8 +257,15 @@ def sharded_sort_kmers(
     )
     fn = make_sharded_sorter(mesh, w, axis)
     out_k, out_v, n_over = fn(kd, vd)
+    if int(np.asarray(n_over)[0]) != 0:
+        # a source shard concentrated one splitter bin (e.g. the input
+        # was already key-clustered across shards); retry with the
+        # guaranteed capacity = full shard per destination
+        fn = make_sharded_sorter(mesh, w, axis,
+                                 capacity_factor=float(n_dev))
+        out_k, out_v, n_over = fn(kd, vd)
     assert int(np.asarray(n_over)[0]) == 0, (
-        "sample-sort capacity overflow; raise capacity_factor"
+        "sample-sort overflow at guaranteed capacity (bug)"
     )
     out_k = np.asarray(out_k).reshape(-1, w)
     out_v = np.asarray(out_v).reshape(-1)

@@ -54,3 +54,17 @@ def test_sharded_sample_sort_matches_global_sort():
         order = np.lexsort((keys[:, 1], keys[:, 0]))
         want = keys[order]
         np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_sample_sort_skewed_ties():
+    """Runs of identical keys must spread across bins (tie-break word)
+    instead of overflowing one device."""
+    from megahit_tpu.parallel.shuffle import sharded_sort_kmers
+
+    keys = np.zeros((4000, 2), dtype=np.uint32)
+    keys[:, 0] = 7
+    keys[:500, 0] = 3  # a smaller distinct run too
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shard",))
+    got = sharded_sort_kmers(keys, mesh)
+    order = np.lexsort((keys[:, 1], keys[:, 0]))
+    np.testing.assert_array_equal(got, keys[order])
