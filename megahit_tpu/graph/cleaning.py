@@ -18,11 +18,10 @@ import numpy as np
 
 from ..core import packing
 from ..utils.log import get_logger
+from .counter import KMAX_MUL
 from .output import unitig_codes
 from .sdbg import Sdbg
 from .unitig import UnitigGraph, refresh
-
-KMAX_MUL = 65535
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +166,7 @@ def _banded_similarity(a: str, b: str, min_similarity: float) -> float:
             if j < i + max_indel:
                 best = min(best, prev[idx + 1] + 1)
             cur[idx] = best
+        prev = cur
     return 1 - prev[m - n + max_indel] * 1.0 / max(n, m)
 
 
@@ -208,6 +208,19 @@ def pop_bubbles(
     candidates = np.flatnonzero(
         (t.outdeg > 1).any(axis=1) & ~g.is_loop & ~standalone
     )
+
+    if len(candidates) and (similarity is not None
+                            or careful_threshold is not None):
+        # batch-reconstruct every string the scan below could need
+        # (candidates + two neighbour hops): per-vertex unitig_codes
+        # calls cost O(E) each in full-graph mask building
+        hop1 = t.nbr[candidates][t.present[candidates]]
+        hop1 = np.unique(hop1[hop1 >= 0])
+        hop2 = t.nbr[hop1][t.present[hop1]] if len(hop1) else hop1
+        hop2 = np.unique(hop2[hop2 >= 0]) if len(hop1) else hop1
+        want = np.unique(np.concatenate([candidates, hop1, hop2]))
+        for v, codes in unitig_codes(g, want).items():
+            strings_cache[v] = packing.decode(codes)
 
     for left in candidates:
         left = int(left)

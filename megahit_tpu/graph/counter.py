@@ -146,7 +146,8 @@ def count_canonical_kmers(
     # (W, M) columns (order is irrelevant: everything is sorted next)
     use_pallas = jax.default_backend() not in ("cpu",)
     n_dense = (len(packed_np) - w) * 16
-    chunk = max(1 << 16, batch_windows)
+    # chunk starts must be word-aligned (lo // 16 assumes 16 | lo)
+    chunk = max(1 << 16, (batch_windows + 15) & ~15)
 
     if use_pallas and n_bases <= chunk:
         # single-shot fused device path: the host receives only the

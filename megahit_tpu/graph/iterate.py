@@ -153,6 +153,7 @@ def find_next_kmers(
     Returns (keys (M, W2) canonical (k+step+1)-mers deduplicated with
     max multiplicity, muls (M,) int32).
     """
+    chunk_bases = max(1 << 16, (chunk_bases + 15) & ~15)
     log = get_logger()
     k, step = index.k, index.step
     k1, k2 = k + 1, k + step + 1

@@ -121,6 +121,7 @@ def find_mercy_edges(
     flat_codes/starts: the read pool. solid_keys: sorted canonical
     solid (k1)-mers. k1 = edge length = megahit k + 1.
     """
+    chunk_bases = max(1 << 16, (chunk_bases + 15) & ~15)
     log = get_logger()
     k = k1 - 1
     w = kmerops.words_per_kmer(k1)
@@ -157,10 +158,14 @@ def find_mercy_edges(
                 break
 
     # positions whose k-window crosses a read boundary act as hard
-    # resets (status "both"), so one global scan handles all reads
+    # resets (status "both"), so one global scan handles all reads;
+    # reads shorter than k+2 are skipped entirely (reference
+    # seq_to_sdbg.cpp:202 `read_len < opt_.k + 2`)
     valid_k = window_valid_mask(starts, k, n_bases)
+    lengths = np.diff(starts)
     status = has_in.astype(np.int8) | (has_out.astype(np.int8) << 1)
     status[~valid_k] = 3
+    status[np.repeat(lengths < k1 + 1, lengths)] = 3
 
     # the latest in-only position at or before i, cancelled by any
     # later stop (status 2 or 3)

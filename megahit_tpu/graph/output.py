@@ -112,10 +112,11 @@ def output_contigs(
     routing when want_final (i.e. a final-contig writer was passed).
     change_only: only vertices marked changed, with multi=1 (addi.fa).
     """
+    from .counter import KMAX_MUL as kmax_mul
+
     # contig headers carry the megahit-level k (node length); the
     # graph's k is the EDGE length = megahit k + 1
     k = graph.k - 1
-    kmax_mul = 65535
     ind, outd = graph.in_out_degree()
     if change_only:
         subset = np.flatnonzero(graph.changed)

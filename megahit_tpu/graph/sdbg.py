@@ -273,9 +273,10 @@ def window_edge_multiset(
     mult_at = np.repeat(seq_mults, np.diff(starts))
 
     # dense gather-free extraction (see counter.count_canonical_kmers),
-    # both strands via one revcomp of the compacted forward keys
+    # both strands via one revcomp of the compacted forward keys;
+    # chunk starts must stay word-aligned
     n_dense = (len(packed_np) - w) * 16
-    chunk = max(1 << 16, batch_windows)
+    chunk = max(1 << 16, (batch_windows + 15) & ~15)
     chunks_k, chunks_m = [], []
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)

@@ -61,9 +61,12 @@ def _iter_fastx_stream(fh) -> Iterator[FastxRecord]:
             yield FastxRecord(name, b"".join(chunks))
     elif first == b"@":
         while True:
-            hdr = fh.readline().rstrip()
-            if not hdr:
+            raw = fh.readline()
+            if not raw:  # EOF (a blank line is just skipped)
                 return
+            hdr = raw.rstrip()
+            if not hdr:
+                continue
             seq = fh.readline().rstrip()
             fh.readline()  # +
             fh.readline()  # qual

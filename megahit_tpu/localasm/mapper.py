@@ -133,6 +133,7 @@ def map_reads(
     hits, clipped to the contig, length-filtered, scored by exact
     matches with threshold similarity * aligned_len, ties invalidate.
     """
+    chunk_bases = max(1 << 16, (chunk_bases + 15) & ~15)
     log = get_logger()
     n_reads = len(starts) - 1
     out = MapResult(*(np.full(n_reads, -1, dtype=np.int64)

@@ -111,12 +111,19 @@ def make_sharded_counter(mesh: Mesh, k1: int, axis: str = "shard",
             val = valid.reshape(-1)
             keys = kmerops.extract_kmers(packed, pos, k1)
             canon, _ = kmerops.canonical_kmers(keys, k1)
-            buf, n_over = _route_to_buffer(canon, val, n_dev, capacity)
+            # explicit validity column: an all-ones key is a legal
+            # canonical k-mer when 16 | k1, so padding can't be
+            # recognized by key pattern alone
+            aug = jnp.concatenate(
+                [canon, val.astype(U32)[:, None]], axis=1
+            )
+            buf, n_over = _route_to_buffer(aug, val, n_dev, capacity)
             recv = jax.lax.all_to_all(
                 buf, axis, split_axis=0, concat_axis=0, tiled=False
-            )  # (n_dev, capacity, W): row i from device i
-            rk = recv.reshape(n_dev * capacity, -1)
-            rvalid = jnp.any(rk != U32(0xFFFFFFFF), axis=-1)
+            )  # (n_dev, capacity, W+1): row i from device i
+            ra = recv.reshape(n_dev * capacity, -1)
+            rk = ra[:, :-1]
+            rvalid = ra[:, -1] == U32(1)
             skeys, counts, head = _count_local(rk, rvalid)
             n_over = jax.lax.psum(n_over, axis)
             return (skeys[None], counts[None], head[None],

@@ -96,11 +96,16 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
 
         if opt.prune_level >= 3:
             g, n1 = cleaning.remove_low_depth(g, min_depth)
-            g, n2 = cleaning.pop_bubbles(g, k + 2, permanent=True)
+            g, n2 = cleaning.pop_bubbles(
+                g, k + 2, permanent=True,
+                careful_threshold=careful, bubble_records=bubble_records,
+            )
             n3 = 0
             if opt.bubble_level >= 2 and opt.merge_len > 0:
                 g, n3 = cleaning.pop_complex_bubbles(
-                    g, opt.merge_len, opt.merge_similar, permanent=True
+                    g, opt.merge_len, opt.merge_similar, permanent=True,
+                    careful_threshold=careful,
+                    bubble_records=bubble_records,
                 )
             log.info("excessive pruning removed: %d", n1 + n2 + n3)
         elif opt.prune_level >= 2:
