@@ -42,8 +42,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="memory budget: fraction of RAM if <= 1, else "
                    "bytes; sizes the device batch (reference -m)")
     h.add_argument("-t", "--num-cpu-threads", type=int, default=0,
-                   help="accepted for reference CLI parity (XLA manages "
-                   "host threads)")
+                   help="host thread budget for CPU-bound stages "
+                   "(0 = all logical CPUs; the device path is "
+                   "scheduled by XLA)")
     h.add_argument("--no-hw-accel", action="store_true",
                    help="reference parity alias for --platform cpu")
     h.add_argument("--mesh", dest="use_mesh", action="store_true",
@@ -119,6 +120,10 @@ def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
+    from megahit_tpu.utils.threads import set_num_threads
+
+    set_num_threads(args.num_cpu_threads)
+
     # persistent compilation cache: assemblies reuse kernels across
     # stages, k values and runs (capacity padding keeps shapes stable)
     import jax
@@ -180,7 +185,8 @@ def main(argv=None) -> int:
         continue_mode=args.continue_mode,
         verbose=args.verbose,
         k_min=args.k_min, k_max=args.k_max, k_step=args.k_step,
-        memory=args.memory, use_mesh=args.use_mesh,
+        memory=args.memory, num_cpu_threads=args.num_cpu_threads,
+        use_mesh=args.use_mesh,
     )
     if args.presets:
         opt.apply_preset(args.presets)

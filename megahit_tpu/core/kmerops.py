@@ -359,7 +359,9 @@ def member_sorted_mt(table: np.ndarray, q: np.ndarray, pool=None
         i = np.searchsorted(table, q[sl])
         return sl, i, table[np.minimum(i, len(table) - 1)] == q[sl]
 
-    parts = max(1, min(8, n // (1 << 18)))
+    from ..utils.threads import num_threads
+
+    parts = max(1, min(8, num_threads(), n // (1 << 18)))
     if parts == 1 or pool is None:
         sl = slice(0, n)
         _, idx[sl], found[sl] = one(sl)

@@ -93,7 +93,9 @@ def _flags_host_u64(
     has_in = np.zeros(n_bases, dtype=bool)
     has_out = np.zeros(n_bases, dtype=bool)
     n_dense = (len(packed_np) - w) * 16
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    from ..utils.threads import num_threads
+
+    with ThreadPoolExecutor(max_workers=min(8, num_threads())) as pool:
         for lo in range(0, n_bases, chunk_bases):
             hi = min(n_dense, lo + chunk_bases)
             lo_w = lo // 16

@@ -86,6 +86,13 @@ class SequenceLib:
 def _interleave_flat(f1, s1, f2, s2):
     """Interleave two sequence pools pairwise (r1_0, r2_0, r1_1, ...)
     with vectorized index arithmetic - no per-read Python loop."""
+    if len(s1) != len(s2):
+        # reference driver errors on mismatched -1/-2 read counts
+        # (truncated/corrupt pair files must surface, not be masked)
+        raise ValueError(
+            "paired files have different read counts: "
+            f"{len(s1) - 1} vs {len(s2) - 1}"
+        )
     n = min(len(s1), len(s2)) - 1
     l1 = np.diff(s1[: n + 1])
     l2 = np.diff(s2[: n + 1])

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..io.contig_io import ContigRecord
 from ..io.lib import SequenceLib
+from ..utils.histogram import Histogram
 from ..utils.log import get_logger
 from .mapper import MapResult, build_seed_index, map_reads
 from .mini_asm import mini_assemble
@@ -56,10 +57,10 @@ def estimate_insert_sizes(
         if len(ins) == 0:
             out.append((0.0, 0.0))
             continue
-        ins = np.sort(ins)
-        t = int(len(ins) * 0.01)
-        ins = ins[t : len(ins) - t] if len(ins) > 2 * t else ins
-        out.append((float(ins.mean()), float(ins.std())))
+        hist = Histogram(ins)
+        if len(ins) > 2 * int(len(ins) * 0.01):
+            hist.trim(0.01)
+        out.append((hist.mean(), hist.sd()))
         log.info("lib [%d,%d): insert size %.2f sd %.2f",
                  begin, end, out[-1][0], out[-1][1])
     return out

@@ -72,6 +72,7 @@ int64_t fastx_parse(const uint8_t *buf, int64_t n, uint8_t *out_codes,
   // memchr-based line stepping: glibc memchr is SIMD, so scanning for
   // '\n' runs at memory bandwidth instead of byte-at-a-time branches
   auto next_nl = [&](int64_t from) -> int64_t {
+    if (from >= n) return n;  // clamp: negative n-from would wrap size_t
     const void *p = memchr(buf + from, '\n', n - from);
     return p ? (const uint8_t *)p - buf : n;
   };
@@ -81,6 +82,10 @@ int64_t fastx_parse(const uint8_t *buf, int64_t n, uint8_t *out_codes,
     if (buf[i] != (is_fastq ? '@' : '>')) return -1;
     i = next_nl(i) + 1;  // skip header line
     if (n_seqs >= max_seqs) return -2;
+    if (i >= n) {  // truncated record: header at EOF, no sequence line
+      out_lens[n_seqs++] = 0;
+      break;
+    }
 
     // sequence: fasta = lines until next '>'; fastq = one line
     int64_t seq_start_out = out_pos;

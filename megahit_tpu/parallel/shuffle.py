@@ -101,8 +101,13 @@ def make_sharded_counter(mesh: Mesh, k1: int, axis: str = "shard",
     n_dev = int(np.prod(list(mesh.shape.values())))
 
     def step(packed, positions, valid):
-        b = positions.shape[0]
-        capacity = max(16, int(np.ceil(b * capacity_factor / n_dev)))
+        # capacity is per-(source, destination): size from the PER-DEVICE
+        # row count so buffers shrink as chips are added (the global
+        # count here would pin send/recv memory at 2x the whole input)
+        per_dev = positions.shape[0] // n_dev
+        capacity = max(
+            16, int(np.ceil(per_dev * capacity_factor / n_dev))
+        )
 
         def local(packed, positions, valid):
             # shard_map bodies see the per-device block with a leading
@@ -316,14 +321,23 @@ def sharded_count_kmers(
 
     step = make_sharded_counter(mesh, k1, axis)
     skeys, counts, head, n_over = step(packed, posd, vald)
+    if int(np.asarray(n_over)[0]) != 0:
+        # hash-skewed input overflowed the 2x capacity; retry at the
+        # guaranteed capacity (a whole source shard per destination)
+        step = make_sharded_counter(mesh, k1, axis,
+                                    capacity_factor=float(n_dev))
+        skeys, counts, head, n_over = step(packed, posd, vald)
     assert int(np.asarray(n_over)[0]) == 0, (
-        "all_to_all capacity overflow; raise capacity_factor"
+        "all_to_all overflow at guaranteed capacity (bug)"
     )
     skeys = np.asarray(skeys)
     counts = np.asarray(counts)
     head = np.asarray(head)
     keep = head & (counts >= min_count)
     out_keys = skeys[keep]
-    out_counts = counts[keep].astype(np.int32)
+    # clamp to the reference's kMaxMul, as the single-device counter does
+    from ..graph.counter import KMAX_MUL
+
+    out_counts = np.minimum(counts[keep], KMAX_MUL).astype(np.int32)
     order = np.lexsort(tuple(out_keys[:, i] for i in range(w - 1, -1, -1)))
     return out_keys[order], out_counts[order]

@@ -40,9 +40,12 @@ class Checkpoint:
     (reference src/megahit:250-280)."""
 
     def __init__(self, path: str, resume: bool):
+        from ..utils.timers import PhaseTimer
+
         self.path = path
         self.idx = 0
         self.done_upto = -1
+        self.timer = PhaseTimer()
         if resume and os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -58,10 +61,11 @@ class Checkpoint:
             log.info("skipping checkpointed stage %d (%s)",
                      idx, fn.__name__)
             return None
-        t0 = time.monotonic()
-        out = fn(*args, **kwargs)
         from ..utils.timers import max_rss_mb
 
+        t0 = time.monotonic()
+        with self.timer.phase(fn.__name__):
+            out = fn(*args, **kwargs)
         log.info(
             "stage %d (%s%s): %.2fs, maxrss %.0f MB",
             idx, fn.__name__,
@@ -356,6 +360,9 @@ class Pipeline:
             self.opt = o = saved
         else:
             o.save(opt_path)
+        from ..utils.threads import set_num_threads
+
+        set_num_threads(o.num_cpu_threads)
         cp = Checkpoint(
             os.path.join(self.out_dir, "checkpoints.txt"),
             resume=o.continue_mode,
@@ -388,4 +395,9 @@ class Pipeline:
         if not o.keep_tmp_files and os.path.exists(self.tmp_dir):
             shutil.rmtree(self.tmp_dir)
         open(os.path.join(self.out_dir, "done"), "w").close()
+        # per-phase span summary (reference xinfo timer lines)
+        for name, dt in sorted(
+            cp.timer.phases.items(), key=lambda x: -x[1]
+        ):
+            self.log.info("phase %s: %.2fs total", name, dt)
         self.log.info("ALL DONE. Time elapsed: %.1f s", time.time() - t0)

@@ -47,6 +47,7 @@ class Options:
     min_contig_len: int = 200
     # resources (reference -m, src/megahit:165,596-609)
     memory: float = 0.9
+    num_cpu_threads: int = 0  # reference -t; 0 = all logical CPUs
     use_mesh: bool = False  # shard counting over all local devices
     # misc
     keep_tmp_files: bool = False
