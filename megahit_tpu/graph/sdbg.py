@@ -351,18 +351,32 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     edges = skeys[keep]
     mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
 
-    e = len(edges)
     rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
         jnp.asarray(edges), k
     )
-    rc_idx = np.asarray(rc_idx)
-    # spot-check the rc pairing (full check would re-derive the join)
-    sample = np.arange(0, e, max(1, e // 1024))
-    rc_sample = np.asarray(
-        kmerops.revcomp_kmers(jnp.asarray(edges[sample]), k)
+    sdbg = _make_sdbg(
+        edges, mult, np.asarray(rc_idx), np.asarray(oc_t),
+        np.asarray(ic_t), np.asarray(oc_s), np.asarray(ic_s), k,
     )
-    assert (edges[rc_idx[sample]] == rc_sample).all(), \
-        "edge set must be closed under revcomp"
+    log.debug("sdbg k=%d: %d windows -> %d edges (cap %d)",
+              k, n_windows, len(edges), sdbg.size)
+    return sdbg
+
+
+def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
+    """Assemble the Sdbg from finished per-edge arrays with capacity
+    padding and an rc spot-check (shared by the in-memory finalize and
+    the out-of-core bucketed builder)."""
+    e = len(edges)
+    w = kmerops.words_per_kmer(k)
+    # spot-check the rc pairing (full check would re-derive the join)
+    if e:
+        sample = np.arange(0, e, max(1, e // 1024))
+        rc_sample = np.asarray(
+            kmerops.revcomp_kmers(jnp.asarray(edges[sample]), k)
+        )
+        assert (edges[rc_idx[sample]] == rc_sample).all(), \
+            "edge set must be closed under revcomp"
 
     # pad all per-edge arrays to a power-of-two CAPACITY with inert
     # rows (valid=False, self-rc, no candidates): every downstream
@@ -373,10 +387,10 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     padn = cap - e
 
     def padi(a, fill):
+        a = np.asarray(a)
         return np.concatenate(
-            [np.asarray(a), np.full((padn,) + a.shape[1:], fill,
-                                    a.dtype)]
-        ) if padn else np.asarray(a)
+            [a, np.full((padn,) + a.shape[1:], fill, a.dtype)]
+        ) if padn else a
 
     keys_p = np.concatenate(
         [edges, np.full((padn, w), 0xFFFFFFFF, np.uint32)]
@@ -384,22 +398,19 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     rc_p = np.concatenate(
         [rc_idx, np.arange(e, cap, dtype=rc_idx.dtype)]
     ) if padn else rc_idx
-    sdbg = Sdbg(
+    return Sdbg(
         k=k,
         keys=keys_p,
         mult=padi(mult, 0),
         rc=rc_p,
-        oc_t=padi(np.asarray(oc_t), NULL),
-        ic_t=padi(np.asarray(ic_t), NULL),
-        oc_s=padi(np.asarray(oc_s), NULL),
-        ic_s=padi(np.asarray(ic_s), NULL),
+        oc_t=padi(oc_t, NULL),
+        ic_t=padi(ic_t, NULL),
+        oc_s=padi(oc_s, NULL),
+        ic_s=padi(ic_s, NULL),
         valid=np.concatenate(
             [np.ones(e, bool), np.zeros(padn, bool)]
         ),
     )
-    log.debug("sdbg k=%d: %d windows -> %d edges (cap %d)",
-              k, n_windows, e, cap)
-    return sdbg
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,26 @@ class Pipeline:
             self.lib = SequenceLib.load(self.lib_path)
         return self.lib
 
+    def _budget_rows(self, w: int) -> int:
+        """Max edge-multiset rows resident at once, from the -m budget
+        (the reference AdjustMemory role, base_engine.cpp:54-141):
+        ~3 copies of (w+1) uint32 words live across sort working sets."""
+        m = self.opt.memory
+        if m <= 1:
+            budget = m * os.sysconf("SC_PAGE_SIZE") * os.sysconf(
+                "SC_PHYS_PAGES"
+            )
+        else:
+            budget = m
+        return int(max(1 << 14, int(budget) // (12 * (w + 1))))
+
+    def _mesh(self):
+        if not self.opt.use_mesh:
+            return None
+        from ..parallel.multihost import global_shard_mesh
+
+        return global_shard_mesh()
+
     def stage_first_graph(self) -> None:
         """count + mercy + graph at k_min (reference build_first_graph,
         src/megahit:789-802; both the 2-pass and 1-pass flavours reduce
@@ -251,6 +271,38 @@ class Pipeline:
                     mults.append(max(1.0, r.multi))
             if n_edge_inputs == 0 and not seqs:
                 raise EarlyTerminate(k_from)
+
+        # estimate the union multiset size; route builds larger than
+        # the -m budget through the out-of-core bucketed engine
+        from ..core.kmerops import words_per_kmer
+
+        n_window_rows = 2 * sum(max(len(s) - km + 1, 0) for s in seqs)
+        est_rows = n_window_rows + 2 * n_edge_inputs
+        budget_rows = self._budget_rows(words_per_kmer(km))
+        if est_rows > budget_rows:
+            from ..graph.bucketed import (
+                EdgeSource, PoolSource, build_sdbg_bucketed,
+            )
+
+            sources = []
+            if seqs:
+                flat, starts = packing.pack_many(seqs)
+                sources.append(PoolSource(
+                    flat, starts,
+                    np.round(np.asarray(mults)).astype(np.int32),
+                ))
+            if edge_keys is not None and len(edge_keys):
+                sources.append(EdgeSource(edge_keys, edge_counts))
+            self.log.info(
+                "k=%d: ~%d multiset rows > budget %d; bucketed "
+                "out-of-core build", k, est_rows, budget_rows,
+            )
+            spill = os.path.join(self.tmp_dir, f"k{k}", "spill")
+            return build_sdbg_bucketed(
+                sources, km, budget_rows, spill,
+                mesh=self._mesh(),
+                batch_windows=self._batch_windows(),
+            )
 
         if seqs:
             from ..graph.sdbg import _finalize_sdbg, window_edge_multiset

@@ -1,0 +1,207 @@
+"""Out-of-core bucketed graph build vs the in-memory finalize.
+
+The bucketed builder must produce a bit-identical Sdbg while never
+sorting more than the round budget at once (the reference CX1
+guarantee, base_engine.cpp:176-281)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from megahit_tpu.core import kmerops
+from megahit_tpu.graph import bucketed as bk
+from megahit_tpu.graph.sdbg import _finalize_sdbg, window_edge_multiset
+from megahit_tpu.core import packing
+
+RNG = np.random.default_rng(42)
+
+
+def _random_pool(n_seqs, length):
+    seqs = [RNG.integers(0, 4, size=length).astype(np.uint8)
+            for _ in range(n_seqs)]
+    return packing.pack_many(seqs)
+
+
+def _reference_build(sources, k):
+    """The round-1 in-memory path over the same union multiset."""
+    import jax.numpy as jnp
+
+    keys_l, mults_l = [], []
+    for src in sources:
+        if isinstance(src, bk.PoolSource):
+            kk, mm = window_edge_multiset(
+                src.flat_codes, src.starts,
+                np.asarray(src.mults, np.int32), k,
+            )
+            keys_l.append(kk)
+            mults_l.append(mm)
+        else:
+            rc = np.asarray(
+                kmerops.revcomp_kmers(jnp.asarray(src.keys), k)
+            )
+            keys_l.extend([src.keys, rc])
+            mults_l.extend([src.counts, src.counts])
+    keys = np.concatenate(keys_l, axis=0)
+    mults = np.concatenate(mults_l).astype(np.int32)
+    return _finalize_sdbg(keys, mults, k, n_windows=len(keys))
+
+
+def _assert_sdbg_equal(a, b):
+    np.testing.assert_array_equal(a.keys, b.keys)
+    np.testing.assert_array_equal(a.mult, b.mult)
+    np.testing.assert_array_equal(a.rc, b.rc)
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_array_equal(a.oc_t, b.oc_t)
+    np.testing.assert_array_equal(a.ic_t, b.ic_t)
+    np.testing.assert_array_equal(a.oc_s, b.oc_s)
+    np.testing.assert_array_equal(a.ic_s, b.ic_s)
+
+
+def test_numpy_key_ops_match_device():
+    import jax.numpy as jnp
+
+    for k in (22, 31, 32, 45):
+        w = kmerops.words_per_kmer(k)
+        keys = RNG.integers(0, 2**32, (257, w)).astype(np.uint32)
+        keys = np.asarray(kmerops.mask_tail(jnp.asarray(keys), k))
+        np.testing.assert_array_equal(
+            bk.np_revcomp(keys, k),
+            np.asarray(kmerops.revcomp_kmers(jnp.asarray(keys), k)),
+        )
+        np.testing.assert_array_equal(
+            bk.np_drop_first_base(keys, k),
+            np.asarray(kmerops.drop_first_base(jnp.asarray(keys), k)),
+        )
+        np.testing.assert_array_equal(
+            bk.np_mask_tail(keys, k - 1),
+            np.asarray(kmerops.mask_tail(jnp.asarray(keys), k - 1)),
+        )
+        np.testing.assert_array_equal(
+            bk.np_get_base(keys, 0),
+            np.asarray(kmerops.get_base(jnp.asarray(keys), 0)),
+        )
+        np.testing.assert_array_equal(
+            bk.np_get_base(keys, k - 1),
+            np.asarray(kmerops.get_base(jnp.asarray(keys), k - 1)),
+        )
+
+
+@pytest.mark.parametrize("k", [22, 32])
+def test_bucketed_matches_in_memory(tmp_path, k):
+    flat, starts = _random_pool(40, 200)
+    mults = RNG.integers(1, 5, size=40).astype(np.int32)
+    ekeys = np.asarray(
+        kmerops.canonical_kmers(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(
+                RNG.integers(0, 2**32, (100, kmerops.words_per_kmer(k)))
+                .astype(np.uint32)
+            ), k,
+        )[0]
+    )
+    ekeys = np.asarray(
+        kmerops.mask_tail(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(ekeys),
+            k,
+        )
+    )
+    ecounts = RNG.integers(1, 100, size=100).astype(np.int32)
+    sources = [
+        bk.PoolSource(flat, starts, mults),
+        bk.EdgeSource(ekeys, ecounts),
+    ]
+    ref = _reference_build(sources, k)
+
+    stats = bk.BuildStats()
+    budget = 2048  # windows ~ 2*40*(200-k+1) + 200 >> budget
+    out = bk.build_sdbg_bucketed(
+        sources, k, budget_rows=budget,
+        spill_dir=str(tmp_path / f"spill{k}"), stats=stats,
+    )
+    _assert_sdbg_equal(out, ref)
+    assert stats.n_rounds > 4
+    # the memory-bounded guarantee: no round loaded more than budget
+    # rows (all buckets fit; an oversized bucket would warn)
+    assert stats.max_round_rows <= budget
+
+
+def test_bucketed_high_multiplicity_clamp(tmp_path):
+    # duplicate sequence -> window mult via max rule; direct edges with
+    # counts above kMaxMul must clamp identically to the in-memory path
+    flat, starts = _random_pool(4, 100)
+    mults = np.array([70000, 2, 2, 2], dtype=np.int32)
+    k = 22
+    sources = [bk.PoolSource(flat, starts, mults)]
+    ref = _reference_build(sources, k)
+    out = bk.build_sdbg_bucketed(
+        sources, k, budget_rows=1 << 20,
+        spill_dir=str(tmp_path / "spillm"),
+    )
+    _assert_sdbg_equal(out, ref)
+
+
+def test_bucketed_on_mesh(tmp_path):
+    import jax
+    from jax.sharding import Mesh
+
+    flat, starts = _random_pool(24, 150)
+    mults = np.ones(24, np.int32)
+    k = 22
+    sources = [bk.PoolSource(flat, starts, mults)]
+    ref = _reference_build(sources, k)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shard",))
+    out = bk.build_sdbg_bucketed(
+        sources, k, budget_rows=2048,
+        spill_dir=str(tmp_path / "spillmesh"), mesh=mesh,
+    )
+    _assert_sdbg_equal(out, ref)
+
+
+def test_bucketed_empty(tmp_path):
+    out = bk.build_sdbg_bucketed(
+        [], 22, budget_rows=1024, spill_dir=str(tmp_path / "spill0"),
+    )
+    assert out.num_valid() == 0
+
+
+def test_pipeline_forced_bucketed(tmp_path):
+    """A tiny -m forces the out-of-core builder through the CLI; final
+    contigs must match the in-memory run bit for bit."""
+    import gzip
+
+    from megahit_tpu.__main__ import main
+    from megahit_tpu.io.contig_io import read_contigs
+
+    genome = RNG.integers(0, 4, size=12000).astype(np.uint8)
+    p1 = str(tmp_path / "r1.fa.gz")
+    p2 = str(tmp_path / "r2.fa.gz")
+    insert, rl = 250, 100
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        for i, s in enumerate(range(0, len(genome) - insert, 3)):
+            frag = genome[s : s + insert]
+            f1.write(f">r{i}/1\n{packing.decode(frag[:rl])}\n")
+            f2.write(
+                f">r{i}/2\n"
+                f"{packing.decode(packing.revcomp_codes(frag[-rl:]))}\n"
+            )
+
+    outs = []
+    # -m 1000 bytes floors budget_rows at 2^14; the k=21 edge set
+    # (~24k rows with rc) exceeds it, forcing the out-of-core path
+    for name, mem in (("big", 0.9), ("small", 1000)):
+        out = str(tmp_path / name)
+        rc = main([
+            "-1", p1, "-2", p2, "-o", out, "--k-list", "21,41",
+            "--no-local", "-m", str(mem), "--keep-tmp-files",
+        ])
+        assert rc == 0
+        outs.append(sorted(
+            (c.length, packing.decode(c.codes))
+            for c in read_contigs(out + "/final.contigs.fa")
+        ))
+    assert outs[0] == outs[1]
+    # the small run really went out-of-core (spill dir was created)
+    assert os.path.isdir(str(tmp_path / "small" / "tmp" / "k21" /
+                             "spill"))
+    assert not os.path.isdir(str(tmp_path / "big" / "tmp" / "k21" /
+                                 "spill"))
