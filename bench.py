@@ -61,22 +61,23 @@ def main():
             cols = canonical_all_kmers_pallas(packed, k1)
             ops = tuple(cols[i] for i in range(cols.shape[0]))
             out = jax.lax.sort(ops, num_keys=len(ops), is_stable=False)
-            skeys = jnp.stack(out, axis=-1)
         else:
             keys = kmerops.extract_all_kmers(packed, k1)
             canon, _ = kmerops.canonical_kmers(keys, k1)
             skeys = kmerops.sort_keys_with_payload(canon)[0]
-        head, counts = kmerops.count_sorted_runs(
-            skeys, jnp.ones(skeys.shape[0], dtype=bool)
+            out = tuple(skeys[:, i] for i in range(skeys.shape[1]))
+        # SoA run-count: no (N, W) stack materialization
+        head, counts = kmerops.count_sorted_runs_soa(
+            out, jnp.ones(out[0].shape[0], dtype=bool)
         )
-        return skeys, counts, head
+        return out[0], counts, head
 
     @jax.jit
     def run(packed):
         def body(i, carry):
             packed, acc = carry
-            skeys, counts, head = one_step(packed)
-            acc = acc + head.sum() + skeys[0, 0].astype(jnp.int32)
+            col0, counts, head = one_step(packed)
+            acc = acc + head.sum() + col0[0].astype(jnp.int32)
             # LCG-mix the pool so every step sorts fresh data
             packed = packed * jnp.uint32(2654435761) + jnp.uint32(i)
             return packed, acc

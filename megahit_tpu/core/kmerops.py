@@ -326,6 +326,30 @@ def count_sorted_runs(
     return head, counts
 
 
+def count_sorted_runs_soa(cols, valid):
+    """count_sorted_runs over SoA columns (tuple of (N,) words).
+
+    Identical semantics, but never materializes the (N, W) stacked
+    layout - on TPU the stack costs a full extra HBM round trip of the
+    key set, which matters in the count hot loop.
+    """
+    n = cols[0].shape[0]
+    head = jnp.zeros(n, dtype=bool).at[0].set(True)
+    for c in cols:
+        prev = jnp.concatenate([c[:1], c[:-1]])
+        head = head | (c != prev)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    head_pos = jnp.where(head, idx, n)
+    nh = cummin_reverse(head_pos)
+    nh = jnp.concatenate([nh[1:], jnp.full((1,), n, jnp.int32)])
+    counts = nh - idx
+    n_inv = jnp.sum(~valid, dtype=jnp.int32)
+    counts = jnp.where(nh == n, counts - n_inv, counts)
+    counts = jnp.where(head, counts, 0)
+    head = head & (counts > 0)
+    return head, counts
+
+
 def keys_to_u64(keys: np.ndarray, k: int) -> np.ndarray:
     """(N, W) keys with k <= 32 -> uint64 preserving lexicographic
     order ((word0 << 32) | word1; word1 = 0 when W == 1).

@@ -94,13 +94,17 @@ def _count_device_fused(packed, pm, k1, cap):
     sent = jnp.uint32(0xFFFFFFFF)
     ops = tuple(jnp.where(pm, cols[i], sent) for i in range(w))
     out = jax.lax.sort(ops + (pm,), num_keys=w, is_stable=False)
-    skeys = jnp.stack(out[:w], axis=-1)
     svalid = out[w]
-    head, counts = kmerops.count_sorted_runs(skeys, svalid)
+    # SoA run-count + per-column compaction: never materializes the
+    # (N, W) stacked keys (a full extra HBM round trip)
+    head, counts = kmerops.count_sorted_runs_soa(out[:w], svalid)
     pos = jnp.cumsum(head.astype(jnp.int32)) - 1
     tgt = jnp.where(head & (pos < cap), pos, cap)
-    out_keys = jnp.full((cap + 1, w), sent, jnp.uint32) \
-        .at[tgt].set(skeys, mode="drop")[:cap]
+    out_keys = jnp.stack(
+        [jnp.full(cap + 1, sent, jnp.uint32)
+         .at[tgt].set(out[i], mode="drop")[:cap] for i in range(w)],
+        axis=-1,
+    )
     out_counts = jnp.zeros(cap + 1, jnp.int32) \
         .at[tgt].set(counts, mode="drop")[:cap]
     return out_keys, out_counts, jnp.sum(head)
