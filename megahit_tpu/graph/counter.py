@@ -51,15 +51,16 @@ def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
     Companion to kmerops.extract_all_kmers: marks which of the dense
     all-offset keys are real windows. Built with a +1/-1 range paint.
     """
-    # int32 delta: numpy's int8 cumsum takes a pathologically slow
-    # path (~100x) on large arrays
+    # int32 delta with an int64 accumulate: numpy's int8 cumsum is
+    # pathologically slow (~100x) and even int32->int32 cumsum is ~2x
+    # slower than widening on this host
     delta = np.zeros(n_pos + 1, dtype=np.int32)
     lengths = np.diff(starts)
     s = starts[:-1][lengths >= k]
     e = s + (lengths[lengths >= k] - k + 1)
     np.add.at(delta, s, 1)
     np.add.at(delta, np.minimum(e, n_pos), -1)
-    return np.cumsum(delta[:-1], dtype=np.int32) > 0
+    return np.cumsum(delta[:-1], dtype=np.int64) > 0
 
 
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:
@@ -76,6 +77,27 @@ def _extract_canonical_dense(packed, k):
     keys = kmerops.extract_all_kmers(packed, k)
     canon, _ = kmerops.canonical_kmers(keys, k)
     return canon
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _extract_canonical_u64le(packed, vm, k):
+    """Canonical keys at every offset as little-endian (N, 2) u32 pairs
+    [low word, high word], invalid windows masked to all-ones.
+
+    The host views the fetched buffer as uint64 at ZERO cost
+    (np.view), so the whole CPU-backend count becomes: one fused XLA
+    pass -> np.sort(u64) -> run-length diff. Only valid for k <= 32.
+    All-ones can never collide with a real key: a canonical key is
+    min(key, rc), and the all-T key's rc is all-A, so all-T is never
+    canonical; for k < 32 the masked tail bits are zero anyway.
+    """
+    keys = kmerops.extract_all_kmers(packed, k)
+    canon, _ = kmerops.canonical_kmers(keys, k)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(vm, canon[:, 0], sent)
+    lo = jnp.where(vm, canon[:, 1] if canon.shape[1] > 1
+                   else jnp.zeros_like(hi), sent)
+    return jnp.stack([lo, hi], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("k1", "cap"))
@@ -180,6 +202,58 @@ def count_canonical_kmers(
                     np.minimum(out_counts[keep], KMAX_MUL).astype(np.int32))
         log.debug("fused count capacity %d < distinct %d; falling back",
                   cap, nd)
+    if not use_pallas and k1 <= 32:
+        # host fast path (CPU backend, keys fit u64): one fused XLA
+        # pass emits [lo, hi]-interleaved u32 pairs with invalid
+        # windows masked to the u64-max sentinel; the host views them
+        # as uint64 for free, sorts once, and run-length counts -
+        # ~5x the old XLA-CPU multi-operand sort + boolean compaction
+        u_chunks = []
+        n_inv = 0
+        for lo in range(0, n_bases, chunk):
+            hi = min(n_dense, lo + chunk)
+            lo_w, hi_w = lo // 16, (hi + 15) // 16
+            size = min(hi_w + w + 1, len(packed_np)) - lo_w
+            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            span = min(min(hi, n_bases) - lo, (size - w) * 16)
+            vm = np.zeros((size - w) * 16, dtype=bool)
+            vm[:span] = valid_all[lo : lo + span]
+            n_inv += int(len(vm) - vm.sum())
+            pairs = np.asarray(
+                _extract_canonical_u64le(sub, jnp.asarray(vm), k1)
+            )
+            u_chunks.append(pairs.view(np.uint64).ravel())
+            if hi >= n_dense:
+                break
+        # single-chunk fetches can be zero-copy views of the XLA
+        # buffer (read-only); in-place sort needs ownership
+        u = np.concatenate(u_chunks) if len(u_chunks) > 1 \
+            else np.array(u_chunks[0])
+        del u_chunks
+        u.sort(kind="stable")
+        u = u[: len(u) - n_inv]  # sentinels sort to the tail
+        assert len(u) == n, (len(u), n)
+        head = np.empty(len(u), dtype=bool)
+        head[0] = True
+        np.not_equal(u[1:], u[:-1], out=head[1:])
+        idx = np.flatnonzero(head)
+        counts = np.diff(np.append(idx, len(u))).astype(np.int32)
+        distinct = u[idx]
+        keep = counts >= min_count
+        distinct = distinct[keep]
+        out_counts = np.minimum(counts[keep], KMAX_MUL).astype(np.int32)
+        out_keys = np.empty((len(distinct), w), np.uint32)
+        out_keys[:, 0] = (distinct >> np.uint64(32)).astype(np.uint32)
+        if w == 2:
+            out_keys[:, 1] = (distinct & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32
+            )
+        log.debug(
+            "count (host u64): %d windows -> %d distinct, %d solid",
+            n, len(idx), len(out_keys),
+        )
+        return out_keys, out_counts
+
     chunks = []
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)

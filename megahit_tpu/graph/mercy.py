@@ -81,6 +81,16 @@ def _member_mt(table: np.ndarray, q: np.ndarray, pool) -> np.ndarray:
     return found
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _extract_u64le(packed, k):
+    """All k-mers as little-endian (N, 2) u32 pairs [low, high]; the
+    host views the fetched buffer as uint64 at zero cost (k <= 32)."""
+    kmers = kmerops.extract_all_kmers(packed, k)
+    hi = kmers[:, 0]
+    lo = kmers[:, 1] if kmers.shape[1] > 1 else jnp.zeros_like(hi)
+    return jnp.stack([lo, hi], axis=-1)
+
+
 def _flags_host_u64(
     packed, packed_np, solid_keys, k, k1, n_bases, chunk_bases
 ):
@@ -101,9 +111,10 @@ def _flags_host_u64(
             lo_w = lo // 16
             size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
             sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-            kmers = np.asarray(kmerops.extract_all_kmers(sub, k))
-            span = min(min(hi, n_bases) - lo, len(kmers))
-            q = kmerops.keys_to_u64(kmers[:span], k)
+            pairs = np.asarray(_extract_u64le(sub, k))
+            u = pairs.view(np.uint64).ravel()
+            span = min(min(hi, n_bases) - lo, len(u))
+            q = u[:span]
             has_out[lo : lo + span] = _member_mt(pset, q, pool)
             has_in[lo : lo + span] = _member_mt(sset, q, pool)
             if hi >= n_dense:
@@ -169,22 +180,26 @@ def find_mercy_edges(
     status[~valid_k] = 3
     status[np.repeat(lengths < k1 + 1, lengths)] = 3
 
-    # the latest in-only position at or before i, cancelled by any
-    # later stop (status 2 or 3)
-    idx = np.arange(n_bases, dtype=np.int64)
-    one_pos = np.where(status == 1, idx, -1)
-    stop_pos = np.where(status >= 2, idx, -1)
-    prev_one = np.maximum.accumulate(one_pos)
-    prev_stop = np.maximum.accumulate(stop_pos)
-
+    # the latest in-only position before each b, cancelled by any later
+    # stop (status 2 or 3). Sparse formulation: dense cummax over 25M+
+    # positions costs seconds of ufunc.accumulate on a weak host; the
+    # in-only/stop position LISTS are small, so two searchsorted calls
+    # at the b positions give the same answers
     b_list = np.flatnonzero(status == 2)
     if len(b_list) == 0:
         return np.zeros((0, w), dtype=np.uint32)
-    a_list = prev_one[b_list]
-    # live gap: an in-only position after the last stop before b
-    live = (a_list >= 0) & (a_list > prev_stop[np.maximum(b_list - 1, 0)])
-    # b at index 0 can't have a predecessor
-    live &= b_list > 0
+    one_list = np.flatnonzero(status == 1)
+    if len(one_list) == 0:  # no in-only position anywhere: no gaps
+        return np.zeros((0, w), dtype=np.uint32)
+    stop_list = np.flatnonzero(status >= 2)
+    # last in-only strictly before b (status[b] == 2, so <= b == < b)
+    ia = np.searchsorted(one_list, b_list)
+    a_list = np.where(ia > 0, one_list[np.maximum(ia - 1, 0)], -1)
+    # last stop strictly before b
+    is_ = np.searchsorted(stop_list, b_list)
+    prev_stop_b = np.where(is_ > 0, stop_list[np.maximum(is_ - 1, 0)],
+                           -1)
+    live = (a_list >= 0) & (a_list > prev_stop_b) & (b_list > 0)
     a_list, b_list = a_list[live], b_list[live]
     if len(a_list) == 0:
         return np.zeros((0, w), dtype=np.uint32)
@@ -192,27 +207,32 @@ def find_mercy_edges(
     delta = np.zeros(n_bases + 1, dtype=np.int32)
     np.add.at(delta, a_list, 1)
     np.add.at(delta, b_list, -1)
-    mercy_mask = np.cumsum(delta[:-1]) > 0
+    mercy_mask = np.cumsum(delta[:-1], dtype=np.int64) > 0
     # a mercy window must itself be a full (k1)-window of its read
     mercy_mask &= window_valid_mask(starts, k1, n_bases)
     n_mercy_windows = int(mercy_mask.sum())
     if n_mercy_windows == 0:
         return np.zeros((0, w), dtype=np.uint32)
 
-    # gather + canonicalize the mercy (k1)-mers
+    # gather + canonicalize the mercy (k1)-mers; chunks without any
+    # mercy window skip extraction entirely (gaps are rare)
     out = []
     for lo in range(0, n_bases, chunk_bases):
         hi = min(n_dense, lo + chunk_bases)
         lo_w = lo // 16
         size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        span = min(min(hi, n_bases) - lo, (size - w) * 16)
+        mm = mercy_mask[lo : lo + span]
+        if not mm.any():
+            if hi >= n_dense:
+                break
+            continue
         sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
         keys = kmerops.extract_all_kmers(sub, k1)
         canon, _ = kmerops.canonical_kmers(keys, k1)
         canon = np.asarray(canon)
         # truncate to [lo, hi): chunks must not overlap
-        span = min(min(hi, n_bases) - lo, len(canon))
-        mm = mercy_mask[lo : lo + span]
-        out.append(canon[:span][mm])
+        out.append(canon[:span][mm[: len(canon)]])
         if hi >= n_dense:
             break
     mercy = np.concatenate(out, axis=0)
