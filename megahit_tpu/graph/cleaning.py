@@ -170,6 +170,135 @@ def _banded_similarity(a: str, b: str, min_similarity: float) -> float:
     return 1 - prev[m - n + max_indel] * 1.0 / max(n, m)
 
 
+def banded_similarity_batch(
+    a_codes: list, b_codes: list, min_similarity: float
+) -> np.ndarray:
+    """Reference banded edit-distance similarity (GetSimilarity,
+    bubble_remover.cpp:10-54) for a BATCH of pairs: vectorized across
+    pairs and across the band; the in-row left-neighbour chain
+    cur[i] = min(nodep[i], cur[i-1]+1) becomes a prefix-min of
+    (nodep[i] - i) plus i. Bit-identical to _banded_similarity."""
+    p = len(a_codes)
+    if p == 0:
+        return np.zeros(0)
+    n = np.array([len(a) for a in a_codes], np.int64)
+    m = np.array([len(b) for b in b_codes], np.int64)
+    mx = np.maximum(n, m)
+    mi = (mx * (1 - min_similarity)).astype(np.int64)
+    reject = (np.abs(n - m) > mi) | (mi < 1)
+    lmax = int(max(n.max(), m.max()))
+    a_mat = np.zeros((p, lmax), np.uint8)
+    b_mat = np.zeros((p, lmax), np.uint8)
+    for i, (a, b) in enumerate(zip(a_codes, b_codes)):
+        a_mat[i, : len(a)] = a
+        b_mat[i, : len(b)] = b
+
+    big = 0x3F3F3F3F
+    width = int(2 * mi.max() + 1)
+    col = np.arange(width, dtype=np.int64)[None, :]  # idx axis
+    mi2 = mi[:, None]
+    prev = np.where(
+        (col >= mi2) & (col <= 2 * mi2), col - mi2, big
+    ).astype(np.int64)
+
+    alive_rows = int(n.max())
+    for i in range(1, alive_rows + 1):
+        j = col + i - mi2  # text position at this band column
+        jlo = np.maximum(i - mi, 1)[:, None]
+        jhi = np.minimum(m, i + mi)[:, None]
+        valid = (j >= jlo) & (j <= jhi) & (col <= 2 * mi2)
+        sub = (
+            a_mat[:, i - 1][:, None]
+            != np.take_along_axis(
+                b_mat, np.clip(j - 1, 0, lmax - 1).astype(np.int64),
+                axis=1,
+            )
+        ).astype(np.int64)
+        diag = prev + sub
+        up = np.concatenate(
+            [prev[:, 1:], np.full((p, 1), big, np.int64)], axis=1
+        ) + 1
+        up = np.where(j < i + mi2, up, big)
+        nodep = np.where(valid, np.minimum(diag, up), big)
+        # j == 0 boundary cell: cur[mi - i] = i when i <= mi
+        bcol = mi2 - i
+        nodep = np.where((col == bcol) & (i <= mi2),
+                         np.minimum(nodep, i), nodep)
+        t = nodep - col
+        cur = col + np.minimum.accumulate(t, axis=1)
+        cur = np.where(valid | ((col == bcol) & (i <= mi2)), cur, big)
+        prev = np.where(i <= n[:, None], cur, prev)
+
+    res_col = np.clip(m - n + mi, 0, width - 1)
+    ed = np.take_along_axis(prev, res_col[:, None], axis=1)[:, 0]
+    sim = 1 - ed / np.maximum(mx, 1)
+    return np.where(reject, 0.0, sim)
+
+
+def _find_bubble_instances(g, t, max_len):
+    """Vectorized bubble-shape filter over ALL (vertex, strand) pairs.
+
+    Returns per-instance arrays (left, lstrand, right, rstrand,
+    mids (I,4), mstrands (I,4), present (I,4)) sorted by (left,
+    lstrand) - the reference's scan order. The filter reads only
+    pre-pass state, so batching is exact."""
+    standalone = g.is_standalone()
+    base = (t.outdeg > 1).any(axis=1) & ~g.is_loop & ~standalone
+    out = []
+    for strand in (0, 1):
+        degree = t.outdeg[:, strand]
+        active = base & (degree > 1)
+        mids = t.nbr[:, strand]          # (V, 4)
+        mstr = t.strand[:, strand]
+        pres = t.present[:, strand]
+        safe = np.maximum(mids, 0)
+        # middles short enough
+        ok = active & ~(pres & (g.length[safe] > max_len)).any(axis=1)
+        # every middle has in/out degree exactly 1 (on its strand)
+        od_fwd = np.take_along_axis(t.outdeg[safe], mstr[..., None],
+                                    axis=2)[..., 0]
+        od_rev = np.take_along_axis(t.outdeg[safe],
+                                    (1 - mstr)[..., None], axis=2)[..., 0]
+        ok &= ~(pres & ((od_fwd != 1) | (od_rev != 1))).any(axis=1)
+
+        # unique right of each middle (reference takes max over the
+        # raw candidate row; absents are -1 so the single present
+        # entry wins)
+        r_nbr = np.take_along_axis(
+            t.nbr[safe], mstr[..., None, None].repeat(4, -1), axis=2
+        )[:, :, 0, :]                    # (V, 4, 4)
+        r_str = np.take_along_axis(
+            t.strand[safe], mstr[..., None, None].repeat(4, -1), axis=2
+        )[:, :, 0, :]
+        rv = r_nbr.max(-1)               # (V, 4)
+        rs = np.take_along_axis(
+            r_str, r_nbr.argmax(-1)[..., None], axis=-1
+        )[..., 0]
+        # all present middles agree on (right, rstrand)
+        first_slot = pres.argmax(axis=1)
+        rv0 = np.take_along_axis(rv, first_slot[:, None], 1)[:, 0]
+        rs0 = np.take_along_axis(rs, first_slot[:, None], 1)[:, 0]
+        ok &= ~(pres & ((rv != rv0[:, None]) | (rs != rs0[:, None]))
+                ).any(axis=1)
+        # right >= left and right's reverse degree == bubble degree
+        idxv = np.arange(g.size)
+        safe_r = np.maximum(rv0, 0)
+        r_deg = np.take_along_axis(
+            t.outdeg[safe_r], (1 - rs0)[:, None], 1
+        )[:, 0]
+        ok &= (rv0 >= idxv) & (rv0 >= 0) & (r_deg == degree)
+
+        lefts = np.flatnonzero(ok)
+        out.append((lefts, np.full(len(lefts), strand), rv0[lefts],
+                    rs0[lefts], mids[lefts], mstr[lefts], pres[lefts]))
+    # merge strands in (left, strand) order
+    lefts = np.concatenate([out[0][0], out[1][0]])
+    order = np.lexsort((np.concatenate([out[0][1], out[1][1]]), lefts))
+    cat = [np.concatenate([a, b], axis=0)[order]
+           for a, b in zip(out[0], out[1])]
+    return cat
+
+
 def pop_bubbles(
     g: UnitigGraph,
     max_len: int,
@@ -187,6 +316,10 @@ def pop_bubbles(
     edit similarity >= similarity).
     careful_threshold: if set, record removed branches with depth >=
     threshold * kept depth into bubble_records (the .bubble_seq.fa list).
+
+    The shape filter and the edit-distance checks are batched (they
+    read only pre-pass state); only deletion marking and record
+    emission run sequentially, preserving the reference's scan order.
     """
     t = NbrTables(g)
     avg = g.avg_depth()
@@ -204,97 +337,92 @@ def pop_bubbles(
         return s
 
     clen = g.contig_len()
-    standalone = g.is_standalone()
-    candidates = np.flatnonzero(
-        (t.outdeg > 1).any(axis=1) & ~g.is_loop & ~standalone
-    )
+    lefts, lstrands, rights, rstrands, mids, mstrs, press = \
+        _find_bubble_instances(g, t, max_len)
 
-    if len(candidates) and (similarity is not None
-                            or careful_threshold is not None):
-        # batch-reconstruct every string the scan below could need
-        # (candidates + two neighbour hops): per-vertex unitig_codes
-        # calls cost O(E) each in full-graph mask building
-        hop1 = t.nbr[candidates][t.present[candidates]]
-        hop1 = np.unique(hop1[hop1 >= 0])
-        hop2 = t.nbr[hop1][t.present[hop1]] if len(hop1) else hop1
-        hop2 = np.unique(hop2[hop2 >= 0]) if len(hop1) else hop1
-        want = np.unique(np.concatenate([candidates, hop1, hop2]))
-        for v, codes in unitig_codes(g, want).items():
+    if len(lefts) == 0:
+        g = refresh(g, set_changed=not permanent)
+        return g, 0
+
+    # sort middles of every instance by (avg depth desc, id asc)
+    safe = np.maximum(mids, 0)
+    avgm = np.where(press, avg[safe], -np.inf)
+    midv = np.where(press, mids, np.iinfo(np.int64).max)
+    order = np.lexsort((midv, -avgm), axis=1)
+    mids = np.take_along_axis(mids, order, 1)
+    mstrs = np.take_along_axis(mstrs, order, 1)
+    press = np.take_along_axis(press, order, 1)
+    keeps = mids[:, 0]
+
+    if len(lefts) and (similarity is not None
+                       or careful_threshold is not None):
+        # batch-reconstruct every string the pass could need
+        used = np.unique(np.concatenate([
+            lefts, rights, mids[press],
+        ]))
+        for v, codes in unitig_codes(g, used).items():
             strings_cache[v] = packing.decode(codes)
 
-    for left in candidates:
-        left = int(left)
-        for lstrand in (0, 1):
-            degree = int(t.outdeg[left, lstrand])
-            if degree <= 1:
-                continue
-            mids = t.nbr[left, lstrand]
-            mstrs = t.strand[left, lstrand]
-            pres = t.present[left, lstrand]
-            mid_list = [
-                (int(mids[j]), int(mstrs[j]))
-                for j in range(4)
-                if pres[j]
-            ]
-            if any(g.length[v] > max_len for v, _ in mid_list):
-                continue
-            ok = True
-            right = None
-            for j, (v, s) in enumerate(mid_list):
-                if t.outdeg[v, 1 - s] != 1 or t.outdeg[v, s] != 1:
-                    ok = False
-                    break
-                rj = (int(t.nbr[v, s, :].max()),
-                      int(t.strand[v, s, np.argmax(t.nbr[v, s, :])]))
-                if j == 0:
-                    right = rj
-                    if right[0] < left or t.outdeg[right[0], 1 - right[1]] \
-                            != degree:
-                        ok = False
-                        break
-                elif rj != right:
-                    ok = False
-                    break
-            if not ok:
-                continue
-            # sort middles by (avg depth desc, id asc)
-            mid_list.sort(key=lambda vs: (-avg[vs[0]], vs[0]))
-            keep_v = mid_list[0][0]
-            if similarity is not None:
-                sim_ok = True
-                a_len = clen[keep_v]
-                sa = vstring(keep_v, mid_list[0][1])
-                for v, s in mid_list[1:]:
-                    b_len = clen[v]
-                    if not (b_len * similarity <= a_len
-                            and a_len * similarity <= b_len):
-                        sim_ok = False
-                        break
-                    if _banded_similarity(
-                        sa, vstring(v, s), similarity
-                    ) < similarity:
-                        sim_ok = False
-                        break
-                if not sim_ok:
+    # batched similarity: all (keep, other-middle) pairs at once
+    sim_ok_inst = np.ones(len(lefts), dtype=bool)
+    if similarity is not None:
+        pair_i, pair_a, pair_b = [], [], []
+        for i in range(len(lefts)):
+            a_len = clen[keeps[i]]
+            for j in range(1, 4):
+                if not press[i, j]:
                     continue
-            careful_any = False
-            for v, s in mid_list[1:]:
-                if g.to_delete[v]:
-                    continue
-                g.to_delete[v] = True
-                num_removed += 1
-                if (careful_threshold is not None
-                        and bubble_records is not None
-                        and avg[v] >= avg[keep_v] * careful_threshold):
-                    bubble_records.append((vstring(v, s), float(avg[v])))
-                    careful_any = True
-            if careful_any:
+                v = mids[i, j]
+                b_len = clen[v]
+                if not (b_len * similarity <= a_len
+                        and a_len * similarity <= b_len):
+                    sim_ok_inst[i] = False
+                    break
+                pair_i.append(i)
+                pair_a.append(packing.encode(
+                    vstring(int(keeps[i]), int(mstrs[i, 0]))
+                ))
+                pair_b.append(packing.encode(
+                    vstring(int(v), int(mstrs[i, j]))
+                ))
+        if pair_i:
+            sims = banded_similarity_batch(pair_a, pair_b, similarity)
+            bad = sims < similarity
+            for idx, i in enumerate(pair_i):
+                if bad[idx]:
+                    sim_ok_inst[i] = False
+
+    # sequential marking in scan order (exact double-delete / record
+    # semantics of the reference loop)
+    for i in range(len(lefts)):
+        if not sim_ok_inst[i]:
+            continue
+        keep_v = int(keeps[i])
+        careful_any = False
+        for j in range(1, 4):
+            if not press[i, j]:
+                continue
+            v = int(mids[i, j])
+            if g.to_delete[v]:
+                continue
+            g.to_delete[v] = True
+            num_removed += 1
+            if (careful_threshold is not None
+                    and bubble_records is not None
+                    and avg[v] >= avg[keep_v] * careful_threshold):
                 bubble_records.append(
-                    (vstring(left, lstrand), float(avg[left]))
+                    (vstring(v, int(mstrs[i, j])), float(avg[v]))
                 )
-                bubble_records.append(
-                    (vstring(right[0], right[1]), float(avg[right[0]]))
-                )
+                careful_any = True
+        if careful_any:
+            bubble_records.append(
+                (vstring(int(lefts[i]), int(lstrands[i])),
+                 float(avg[lefts[i]]))
+            )
+            bubble_records.append(
+                (vstring(int(rights[i]), int(rstrands[i])),
+                 float(avg[rights[i]]))
+            )
     g = refresh(g, set_changed=not permanent)
     return g, num_removed
 

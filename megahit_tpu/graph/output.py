@@ -44,7 +44,9 @@ def unitig_codes(graph: UnitigGraph, subset: np.ndarray | None = None
     want = np.zeros(graph.size, dtype=bool)
     want[subset] = True
 
-    # --- chain vertices: vectorized by (chain_start, pos) sort
+    # --- chain vertices: fully vectorized by (chain_start, pos) sort;
+    # one flat base buffer + per-chain views (no per-chain Python
+    # unpack/concat - that loop dominated complex-bubble passes)
     chain_vs = subset[~graph.is_loop[subset]]
     if len(chain_vs):
         sel_start = np.zeros(s.size, dtype=bool)
@@ -59,17 +61,43 @@ def unitig_codes(graph: UnitigGraph, subset: np.ndarray | None = None
         eidx = eidx[order]
         bases = _last_base(s.keys[eidx], k)
         chains = graph.chain_start[eidx]
-        boundaries = np.flatnonzero(
-            np.concatenate([[True], chains[1:] != chains[:-1]])
-        )
+        head = np.empty(len(eidx), dtype=bool)
+        if len(eidx):
+            head[0] = True
+            np.not_equal(chains[1:], chains[:-1], out=head[1:])
+        boundaries = np.flatnonzero(head)
         ends = np.concatenate([boundaries[1:], [len(eidx)]])
         row_of_start = np.full(s.size, -1, dtype=np.int64)
         row_of_start[graph.start[chain_vs]] = chain_vs
-        for b, e in zip(boundaries, ends):
-            v = int(row_of_start[chains[b]])
-            first_edge = int(eidx[b])
-            head = packing.unpack_words(s.keys[first_edge], k)
-            out[v] = np.concatenate([head, bases[b + 1 : e]])
+        vids = row_of_start[chains[boundaries]]
+        counts = ends - boundaries
+        lens = counts + (k - 1)  # k head bases + (cnt-1) tail bases
+        offs = np.zeros(len(vids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = np.empty(offs[-1], dtype=np.uint8)
+
+        # head: all k bases of each chain's first edge, vectorized
+        first_keys = s.keys[eidx[boundaries]]  # (C, W)
+        pos_k = np.arange(k)
+        words = first_keys[:, pos_k // 16]  # (C, k)
+        shifts = (30 - 2 * (pos_k % 16)).astype(np.uint32)
+        heads = ((words >> shifts[None, :]) & 3).astype(np.uint8)
+        head_dst = offs[:-1, None] + pos_k[None, :]
+        flat[head_dst.reshape(-1)] = heads.reshape(-1)
+
+        # tail: last base of every non-first edge, scattered to
+        # offset + k + rank-1 (ranks from the group-sorted order)
+        rank = np.arange(len(eidx), dtype=np.int64)
+        group_start = np.repeat(boundaries, counts)
+        group_id = np.repeat(
+            np.arange(len(vids), dtype=np.int64), counts
+        )
+        tail_dst = offs[group_id] + k + (rank - group_start) - 1
+        is_tail = rank > group_start
+        flat[tail_dst[is_tail]] = bases[is_tail]
+
+        for i, v in enumerate(vids):
+            out[int(v)] = flat[offs[i] : offs[i + 1]]
 
     # --- loop vertices: walk the cycle (rare, host)
     loop_vs = subset[graph.is_loop[subset]]
