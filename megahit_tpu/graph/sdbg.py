@@ -469,67 +469,54 @@ def simple_path_links(oc_t, ic_t, oc_s, ic_s, valid):
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
 def _trim_tips_once(oc_t, ic_t, oc_s, ic_s, valid, max_len: int):
-    """One Trim(len) pass: walk back from out-degree-0 edges through
-    unique-prev chains up to max_len edges; if the chain detaches (branch
-    or dead start) it is a tip - remove it and its reverse complement.
+    """One Trim(len) pass: a chain ending in an out-degree-0 edge is a
+    tip when it is <= max_len edges long and detaches at its start
+    (dead start or branch) - remove it and its reverse complement.
 
-    Returns new validity mask and number of tips removed. The reference's
-    symmetric forward pass over in-degree-0 seeds is exactly the rc image
-    of this pass, so removing rc(path) too is equivalent.
+    The walk-back of the reference (sdbg_pruning.cpp:61-145) steps
+    through nodes with in/out degree (1,1), i.e. exactly the
+    simple-path chains, so pointer doubling with ceil(log2(max_len))+1
+    rounds replaces the linear max_len-step scan: chains longer than
+    the doubling horizon are correctly classified non-tips because
+    their measured prefix already exceeds max_len.
+
+    Returns (to_remove mask, number of tip chains). The reference's
+    symmetric forward pass over in-degree-0 seeds is the rc image of
+    this pass; invalidate() removes rc(path) too.
     """
     e = valid.shape[0]
     odt = _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32)
     ids_ = _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32)
     ods = _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32)
 
-    uniq_prev = jnp.where(ids_ == 1, _unique_valid(ic_s, valid), NULL)
-    # prev has unique next <=> prev's target outdeg == 1 (target(prev) ==
-    # source(e)): outdeg of source(e)
-    prev_has_unique_next = ods == 1
-
-    seed = valid & (odt == 0)
+    nxt, prv = simple_path_links(oc_t, ic_t, oc_s, ic_s, valid)
     idx = jnp.arange(e, dtype=jnp.int32)
+    n = jnp.where(nxt >= 0, nxt, idx)
+    p = jnp.where(prv >= 0, prv, idx)
+    d_start = (prv >= 0).astype(jnp.int32)
+    rounds = max(1, int(np.ceil(np.log2(max(max_len, 2)))) + 1)
 
-    def walk(state, _):
-        cur, alive, is_tip, steps = state
-        prv = jnp.where(alive, uniq_prev[jnp.maximum(cur, 0)], NULL)
-        no_prev = prv == NULL
-        # stop: no unique prev -> tip iff indeg(source(cur)) == 0
-        tip_dead = no_prev & (ids_[jnp.maximum(cur, 0)] == 0)
-        # stop: prev exists but prev is a branch (multiple nexts) -> tip
-        tip_branch = (~no_prev) & (~prev_has_unique_next[jnp.maximum(cur, 0)])
-        newly_tip = alive & (tip_dead | tip_branch)
-        is_tip = is_tip | newly_tip
-        cont = alive & (~no_prev) & prev_has_unique_next[jnp.maximum(cur, 0)]
-        cur = jnp.where(cont, prv, cur)
-        steps = steps + cont.astype(jnp.int32)
-        return (cur, cont, is_tip, steps), None
+    def body(_, state):
+        n, p, d_start = state
+        d_start = d_start + d_start[p]
+        return n[n], p[p], d_start
 
-    init = (idx, seed, jnp.zeros(e, bool), jnp.zeros(e, jnp.int32))
-    (cur, alive, is_tip, steps), _ = jax.lax.scan(
-        walk, init, None, length=max(max_len - 1, 1)
-    )
-    # paths that ran out of budget while still alive are not tips
+    n, p, d_start = jax.lax.fori_loop(0, rounds, body, (n, p, d_start))
+    start = p  # chain start (or 2^rounds back for long chains)
+    chain_len = d_start + 1
 
-    # second pass: mark the tip paths
-    to_remove = jnp.zeros(e, bool)
-    to_remove = to_remove | (seed & is_tip)
+    # tip-stop classification at the chain start: dead start or branch
+    tip_stop = (ids_ == 0) | ((ids_ == 1) & (ods != 1))
+    seed = valid & (odt == 0)
+    # reference Trim(len) walks i = 1..len-1, so chains of <= len-1
+    # edges are classified (sdbg_pruning.cpp:74-85)
+    is_tip_seed = seed & (chain_len <= max_len - 1) & tip_stop[start]
 
-    def mark(state, _):
-        cur, alive, to_remove = state
-        prv = jnp.where(alive, uniq_prev[jnp.maximum(cur, 0)], NULL)
-        cont = alive & (prv != NULL) & prev_has_unique_next[
-            jnp.maximum(cur, 0)
-        ]
-        cur = jnp.where(cont, prv, cur)
-        to_remove = to_remove.at[jnp.maximum(cur, 0)].max(cont)
-        return (cur, cont, to_remove), None
-
-    (cur2, alive2, to_remove), _ = jax.lax.scan(
-        mark, (idx, seed & is_tip, to_remove), None,
-        length=max(max_len - 1, 1),
-    )
-    n_tips = jnp.sum(seed & is_tip)
+    # mark whole chains: follow nxt to the chain end (a fixpoint for
+    # seeds) and inherit its tip flag; tip chains are <= max_len <=
+    # 2^rounds edges, so members always reach their true end
+    to_remove = valid & is_tip_seed[n]
+    n_tips = jnp.sum(is_tip_seed)
     return to_remove, n_tips
 
 

@@ -81,6 +81,7 @@ class UnitigGraph:
     chain_start: np.ndarray = field(default=None)  # (E,) int32
     edge_pos: np.ndarray = field(default=None)  # (E,) int32 (chains only)
     nxt: np.ndarray = field(default=None)  # (E,) int32 simple-path successor
+    prv: np.ndarray = field(default=None)  # (E,) int32 simple-path predecessor
     # mutable marks
     to_delete: np.ndarray = field(default=None)
     to_disconnect_fwd: np.ndarray = field(default=None)
@@ -155,7 +156,7 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
                            np.zeros(0, bool), np.zeros(0, bool),
                            np.full(0, NULL, np.int32),
                            chain_start=z.copy(), edge_pos=z.copy(),
-                           nxt=z.copy())
+                           nxt=z.copy(), prv=z.copy())
 
     valid = jnp.asarray(sdbg.valid)
     nxt, prv = simple_path_links(
@@ -221,7 +222,8 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
         sdbg.k, sdbg, v_start.astype(np.int32), v_end.astype(np.int32),
         v_rc_start.astype(np.int32), v_rc_end.astype(np.int32),
         v_len, v_depth, v_loop, v_pal, vid,
-        chain_start=chain_start, edge_pos=pos.astype(np.int32), nxt=nxt,
+        chain_start=chain_start, edge_pos=pos.astype(np.int32),
+        nxt=nxt, prv=prv,
     )
     log.debug(
         "unitig graph: %d vertices (%d loops, %d palindromes) from %d edges",
@@ -235,20 +237,9 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
 # ---------------------------------------------------------------------------
 
 
-def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
-    """Apply to_delete / to_disconnect marks to the underlying SdBG and
-    rebuild the unitig graph (reference UnitigGraph::Refresh,
-    unitig_graph.cpp:210-355, redesigned as a full deterministic rebuild).
-    """
-    s = graph.sdbg
-    if not (graph.to_delete.any() or graph.to_disconnect_fwd.any()
-            or graph.to_disconnect_rc.any()):
-        # nothing marked: the rebuild would reproduce this graph
-        # exactly (and `changed` is already correct for both modes) -
-        # skip the full pointer-doubling rebuild
-        return graph
-    # weak-link disconnect: drop the first edge of the marked strand
-    # (reference RefreshDisconnected, unitig_graph.cpp:141-208)
+def _classify_marks(graph: UnitigGraph):
+    """Split marks into whole-vertex deletions and terminal disconnects
+    (reference RefreshDisconnected, unitig_graph.cpp:141-208)."""
     n_marks = (graph.to_disconnect_fwd.astype(int)
                + graph.to_disconnect_rc.astype(int))
     kill_whole = (~graph.to_delete) & (n_marks > 0) & (
@@ -256,30 +247,26 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
     )
     disc_fwd = graph.to_disconnect_fwd & ~graph.to_delete & ~kill_whole
     disc_rc = graph.to_disconnect_rc & ~graph.to_delete & ~kill_whole
+    delete = graph.to_delete | kill_whole
+    return delete, disc_fwd, disc_rc
 
-    kill_edges = np.zeros(s.size, dtype=bool)
+
+def _kill_edge_mask(graph, delete, disc_fwd, disc_rc):
+    kill_edges = np.zeros(graph.sdbg.size, dtype=bool)
     if disc_fwd.any():
         kill_edges[graph.start[disc_fwd]] = True
     if disc_rc.any():
         kill_edges[graph.rc_start[disc_rc]] = True
-
-    # full deletions
-    delete = graph.to_delete | kill_whole
     if delete.any():
         member = (graph.vid >= 0) & delete[np.maximum(graph.vid, 0)]
         kill_edges |= member
+    return kill_edges
 
-    old_changed_vid = None
-    if set_changed:
-        old_changed_vid = (graph.vid.copy(), graph.changed.copy(),
-                           graph.length.copy())
 
-    if kill_edges.any():
-        s.invalidate(kill_edges)
-    g2 = build_unitig_graph(s)
-
-    # changed tracking: a new vertex is "changed" if it is not identical
-    # (same edge membership) to an old unchanged vertex
+def _propagate_changed(graph: UnitigGraph, g2: UnitigGraph,
+                       set_changed: bool) -> None:
+    """changed tracking: a new vertex is "changed" if it is not
+    identical (same edge membership) to an old unchanged vertex."""
     old_vid = graph.vid
     old_len = graph.length
     new_first_old = np.where(
@@ -298,4 +285,287 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
         g2.changed = (~same) | prev_changed
     else:
         g2.changed = same & prev_changed
+
+
+def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
+    """Apply to_delete / to_disconnect marks to the underlying SdBG and
+    rebuild the unitig graph (reference UnitigGraph::Refresh,
+    unitig_graph.cpp:210-355).
+
+    The rebuild is CONTRACTED: surviving old chains become super-edges
+    and the pointer-doubling ranking runs over them (O(V log V) host
+    numpy) instead of over all edges (O(E log E) device rounds) - the
+    reference's touch-only-marked-vertices Refresh re-expressed
+    deterministically. Falls back to the full edge-level rebuild for
+    the rare shapes the contraction does not model (disconnects on
+    palindromes/loops).
+    """
+    s = graph.sdbg
+    if not (graph.to_delete.any() or graph.to_disconnect_fwd.any()
+            or graph.to_disconnect_rc.any()):
+        # nothing marked: the rebuild would reproduce this graph
+        # exactly (and `changed` is already correct for both modes) -
+        # skip the rebuild
+        return graph
+    delete, disc_fwd, disc_rc = _classify_marks(graph)
+    if ((disc_fwd | disc_rc)
+            & (graph.is_palindrome | graph.is_loop)).any():
+        return _refresh_full(graph, delete, disc_fwd, disc_rc,
+                             set_changed)
+    return _refresh_contracted(graph, delete, disc_fwd, disc_rc,
+                               set_changed)
+
+
+def _refresh_full(graph, delete, disc_fwd, disc_rc,
+                  set_changed: bool) -> UnitigGraph:
+    """Full edge-level rebuild (fallback path)."""
+    s = graph.sdbg
+    kill_edges = _kill_edge_mask(graph, delete, disc_fwd, disc_rc)
+    if kill_edges.any():
+        s.invalidate(kill_edges)
+    g2 = build_unitig_graph(s)
+    _propagate_changed(graph, g2, set_changed)
+    return g2
+
+
+def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
+                        set_changed: bool) -> UnitigGraph:
+    """Chain-contracted refresh.
+
+    Surviving old chains (with disconnect-adjusted terminals) become
+    super-edges; simple-path links can only change at chain terminals
+    (interior nodes have degree (1,1) by definition), so ranking the
+    super-edge graph and expanding back to edge-level arrays gives
+    exactly the graph a full rebuild would produce - including the
+    full rebuild's canonical orientation (smaller start-edge id) and
+    vertex order (ascending start-edge id) so downstream tie-breaks
+    are unchanged.
+    """
+    s = graph.sdbg
+    e_sz = s.size
+    kill_edges = _kill_edge_mask(graph, delete, disc_fwd, disc_rc)
+    if kill_edges.any():
+        s.invalidate(kill_edges)
+
+    live_chain = (~delete) & ~graph.is_loop
+    live_loop = (~delete) & graph.is_loop
+    lv = np.flatnonzero(live_chain)
+    n_l = len(lv)
+
+    # --- super-edges: adjusted terminals, weighted length/depth
+    dfw = disc_fwd[lv]
+    drc = disc_rc[lv]
+    old_start = graph.start[lv]
+    old_end = graph.end[lv]
+    new_start = old_start.copy()
+    new_end = old_end.copy()
+    if dfw.any():
+        new_start[dfw] = graph.nxt[old_start[dfw]]
+    if drc.any():
+        new_end[drc] = graph.prv[old_end[drc]]
+    se_len_v = (graph.length[lv] - dfw - drc).astype(np.int64)
+    dep_v = graph.total_depth[lv].astype(np.int64) \
+        - np.where(dfw, s.mult[old_start], 0) \
+        - np.where(drc, s.mult[old_end], 0)
+
+    pal = graph.is_palindrome[lv]
+    npal = np.flatnonzero(~pal)
+    m = n_l + len(npal)
+    se_start = np.concatenate([new_start, s.rc[new_end[npal]]])
+    se_end = np.concatenate([new_end, s.rc[new_start[npal]]])
+    se_rc = np.arange(m, dtype=np.int64)
+    se_rc[npal] = n_l + np.arange(len(npal))
+    se_rc[n_l:] = npal
+    se_len = np.concatenate([se_len_v, se_len_v[npal]])
+    se_dep = np.concatenate([dep_v, dep_v[npal]])
+    se_shift = np.concatenate([dfw, drc[npal]]).astype(np.int64)
+
+    # --- super-edge links: unique simple-path successor at terminal
+    # edges under the new validity (the node between two chains has
+    # degree (1,1) iff both the out- and in- side are unique)
+    if m:
+        oc = s.oc_t[se_end]                       # (M, 4)
+        oc_ok = (oc >= 0) & s.valid[np.maximum(oc, 0)]
+        ic = s.ic_t[se_end]
+        ic_ok = (ic >= 0) & s.valid[np.maximum(ic, 0)]
+        uniq = (oc_ok.sum(1) == 1) & (ic_ok.sum(1) == 1)
+        f = np.where(uniq,
+                     np.where(oc_ok, oc, -1).max(1), -1)
+        start_lookup = np.full(s.size, -1, dtype=np.int64)
+        start_lookup[se_start] = np.arange(m)
+        nxt_se = np.where(f >= 0, start_lookup[np.maximum(f, 0)], -1)
+        # a unique successor must be some live chain's start
+        assert not (uniq & (nxt_se < 0)).any(), \
+            "contracted refresh: dangling simple-path link"
+        prv_se = np.full(m, -1, dtype=np.int64)
+        has = nxt_se >= 0
+        prv_se[nxt_se[has]] = np.flatnonzero(has)
+    else:
+        nxt_se = prv_se = np.zeros(0, dtype=np.int64)
+
+    # --- numpy pointer-doubling over super-edges
+    idx = np.arange(m, dtype=np.int64)
+    nn = np.where(nxt_se >= 0, nxt_se, idx)
+    pp = np.where(prv_se >= 0, prv_se, idx)
+    d_end = (nxt_se >= 0).astype(np.int64)
+    d_start = (prv_se >= 0).astype(np.int64)
+    mn = idx.copy()
+    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))))
+    for _ in range(rounds):
+        d_end += d_end[nn]
+        d_start += d_start[pp]
+        np.minimum(mn, mn[nn], out=mn)
+        nn = nn[nn]
+        pp = pp[pp]
+    end_se, start_se, pos_se = nn, pp, d_start
+
+    in_cycle = nxt_se[end_se] >= 0 if m else np.zeros(0, bool)
+    chain_of = np.where(in_cycle, mn, start_se)
+    chain_end = np.where(in_cycle, prv_se[mn], end_se)
+    is_rep = chain_of == idx
+    rep = np.flatnonzero(is_rep)
+    len_per = np.bincount(chain_of, weights=se_len, minlength=max(m, 1)
+                          ).astype(np.int64)
+    dep_per = np.bincount(chain_of, weights=se_dep, minlength=max(m, 1)
+                          ).astype(np.int64)
+
+    c_first = rep
+    c_last = chain_end[rep]
+    c_loop = in_cycle[rep]
+    pair_first = chain_of[se_rc[c_last]]
+
+    # canonical anchor per super-chain, matching the full rebuild:
+    # chains anchor at their start EDGE id; NEW cycles anchor at their
+    # minimum member edge id (the edge-level mn convention)
+    anchor = se_start.astype(np.int64) if m else se_start
+    if m and in_cycle.any():
+        min_edge_chain = np.full(e_sz, e_sz, dtype=np.int64)
+        vv = np.flatnonzero(s.valid)
+        np.minimum.at(min_edge_chain, graph.chain_start[vv], vv)
+        oldchain_key = np.concatenate(
+            [graph.start[lv], graph.rc_start[lv[npal]]]
+        )
+        min_edge_se = min_edge_chain[oldchain_key]
+        cycmin = np.full(m, e_sz, dtype=np.int64)
+        np.minimum.at(cycmin, chain_of, min_edge_se)
+        anchor = np.where(in_cycle, cycmin, anchor)
+    anchor_of = anchor[c_first] if m else c_first
+    anchor_pair = anchor[pair_first] if m else pair_first
+
+    # canonical orientation + order: smaller anchor edge id wins
+    keep = anchor_of <= anchor_pair
+    v_first = c_first[keep]
+    v_last = chain_end[rep][keep]
+    v_pairf = pair_first[keep]
+    v_loop = c_loop[keep]
+    v_anchor = anchor_of[keep]
+    order = np.argsort(v_anchor, kind="stable")
+    v_first, v_last = v_first[order], v_last[order]
+    v_pairf, v_loop = v_pairf[order], v_loop[order]
+    v_anchor = v_anchor[order]
+
+    nv = len(v_first)
+    v_start = np.where(v_loop, v_anchor,
+                       se_start[v_first] if m else v_first
+                       ).astype(np.int32)
+    v_end = se_end[v_last].astype(np.int32)  # loops fixed up below
+    v_len = len_per[v_first].astype(np.int32)
+    v_dep = dep_per[v_first]
+    v_pal = v_first == v_pairf
+
+    # row id per super-edge (both orientations map to the vertex row)
+    row_of_first = np.full(max(m, 1), NULL, dtype=np.int64)
+    row_of_first[v_first] = np.arange(nv)
+    row_of_first[v_pairf] = np.arange(nv)
+    vid_se = row_of_first[chain_of] if m else np.zeros(0, np.int64)
+
+    # --- expand to edge level
+    oldchain2se = np.full(e_sz, -1, dtype=np.int64)
+    oldchain2se[graph.start[lv]] = np.arange(n_l)
+    oldchain2se[graph.rc_start[lv[npal]]] = n_l + np.arange(len(npal))
+    se_of_edge = oldchain2se[graph.chain_start]
+    se_of_edge[~s.valid] = -1
+
+    # weighted offset of each super-edge within its new chain
+    offs = np.zeros(m, dtype=np.int64)
+    if m:
+        so = np.lexsort((pos_se, chain_of))
+        grp = chain_of[so]
+        csum = np.cumsum(se_len[so]) - se_len[so]
+        first_in_grp = np.empty(len(so), dtype=bool)
+        first_in_grp[0] = True
+        np.not_equal(grp[1:], grp[:-1], out=first_in_grp[1:])
+        grp_base = np.maximum.accumulate(
+            np.where(first_in_grp, csum, -1)
+        )
+        offs[so] = csum - grp_base
+
+    vid_new = np.full(e_sz, NULL, dtype=np.int32)
+    chain_start_new = graph.chain_start.copy()
+    edge_pos_new = graph.edge_pos.copy()
+    mc = se_of_edge >= 0
+    sem = se_of_edge[mc]
+    vid_new[mc] = vid_se[sem].astype(np.int32)
+    chain_start_new[mc] = se_start[chain_of[sem]].astype(np.int32)
+    edge_pos_new[mc] = (offs[sem] + graph.edge_pos[mc]
+                        - se_shift[sem]).astype(np.int32)
+
+    # carried-over loop vertices
+    ll = np.flatnonzero(live_loop)
+    old2new_loop = np.full(graph.size, NULL, dtype=np.int64)
+    old2new_loop[ll] = nv + np.arange(len(ll))
+    ml = s.valid & (graph.vid >= 0) & (
+        old2new_loop[np.maximum(graph.vid, 0)] >= 0
+    )
+    vid_new[ml] = old2new_loop[graph.vid[ml]].astype(np.int32)
+
+    # --- repair simple-path links at junctions and cut ends
+    nxt_new = graph.nxt.copy()
+    prv_new = graph.prv.copy()
+    if dfw.any():
+        prv_new[new_start[dfw]] = NULL
+    if drc.any():
+        nxt_new[new_end[drc]] = NULL
+    if m:
+        has = nxt_se >= 0
+        nxt_new[se_end[has]] = se_start[nxt_se[has]].astype(np.int32)
+        prv_new[se_start[nxt_se[has]]] = se_end[has].astype(np.int32)
+        no = ~has
+        nxt_new[se_end[no]] = NULL
+        prv_new[se_start[np.flatnonzero(prv_se < 0)]] = NULL
+
+    # NEW cycles: v_start already anchored at the min member edge id
+    # (full-rebuild mn convention); fix end = predecessor of the anchor
+    # and re-anchor members' chain_start
+    new_loops = np.flatnonzero(v_loop)
+    if len(new_loops):
+        v_end[new_loops] = prv_new[v_start[new_loops]]
+        is_new_loop = np.zeros(max(nv, 1), dtype=bool)
+        is_new_loop[new_loops] = True
+        memb = mc.copy()
+        memb[mc] = is_new_loop[vid_new[mc]]
+        chain_start_new[memb] = v_start[vid_new[memb]]
+
+    v_rc_start = s.rc[v_end]
+    v_rc_end = s.rc[v_start]
+
+    # append carried loop rows
+    def cat(a, b):
+        return np.concatenate([a, b]) if len(b) else a
+
+    g2 = UnitigGraph(
+        graph.k, s,
+        cat(v_start, graph.start[ll]).astype(np.int32),
+        cat(v_end, graph.end[ll]).astype(np.int32),
+        cat(v_rc_start, graph.rc_start[ll]).astype(np.int32),
+        cat(v_rc_end, graph.rc_end[ll]).astype(np.int32),
+        cat(v_len, graph.length[ll]).astype(np.int32),
+        cat(v_dep, graph.total_depth[ll]).astype(np.int64),
+        cat(v_loop, graph.is_loop[ll]),
+        cat(v_pal, graph.is_palindrome[ll]),
+        vid_new,
+        chain_start=chain_start_new, edge_pos=edge_pos_new,
+        nxt=nxt_new, prv=prv_new,
+    )
+    _propagate_changed(graph, g2, set_changed)
     return g2
