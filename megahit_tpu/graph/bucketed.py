@@ -317,11 +317,24 @@ def build_sdbg_bucketed(
     mesh=None,
     batch_windows: int = 1 << 21,
     stats: BuildStats | None = None,
+    mult_mode: str = "max",
+    min_count: int = 1,
 ) -> Sdbg:
     """Build the SdBG from any mix of PoolSource/EdgeSource inputs with
     a bounded in-memory working set (<= ~budget_rows rows per device
-    sort). Semantically identical to sdbg._finalize_sdbg over the union
-    multiset (tested); the multiset itself lives on disk."""
+    sort). The multiset itself lives on disk.
+
+    mult_mode:
+      "max"   - dedup keeps the maximum contribution (seq2sdbg
+                semantics, seq_to_sdbg.cpp:640-643); identical to
+                sdbg._finalize_sdbg over the union multiset (tested).
+      "count" - dedup SUMS contributions and drops groups below
+                min_count: the 1-pass read2sdbg semantics
+                (read_to_sdbg_s1.cpp solidity counting) - the
+                both-strand group size of edge e equals
+                occ(e) + occ(rc(e)), i.e. the canonical k-mer count,
+                so counts match the 2-pass counter exactly.
+    """
     log = get_logger()
     w = kmerops.words_per_kmer(k)
     st = stats if stats is not None else BuildStats()
@@ -375,7 +388,19 @@ def build_sdbg_bucketed(
         tail[:-1] = head[1:]
         tail[-1] = True
         edges = np.ascontiguousarray(keys[tail])
-        mult = np.minimum(srows[tail, w], KMAX_MUL).astype(np.int32)
+        if mult_mode == "max":
+            # mult is the LAST sort word, so the tail row is the max
+            mult = np.minimum(srows[tail, w], KMAX_MUL).astype(np.int32)
+        else:
+            # group sums via cumulative-sum differences at group tails
+            cs = np.cumsum(srows[:, w], dtype=np.int64)
+            tails = cs[tail]
+            sums = np.diff(np.concatenate([[0], tails]))
+            mult = np.minimum(sums, KMAX_MUL).astype(np.int32)
+            if min_count > 1:
+                solid = sums >= min_count
+                edges = edges[solid]
+                mult = mult[solid]
         del srows
         e = len(edges)
         off = offsets[-1]

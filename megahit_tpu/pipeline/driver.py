@@ -152,11 +152,16 @@ class Pipeline:
 
     def stage_first_graph(self) -> None:
         """count + mercy + graph at k_min (reference build_first_graph,
-        src/megahit:789-802; both the 2-pass and 1-pass flavours reduce
-        to this on-device path)."""
+        src/megahit:789-802): the default 2-pass path counts solid
+        edges first; --kmin-1pass builds the graph straight from the
+        reads through the out-of-core builder (reference read2sdbg
+        S1+S2, main_sdbg_build.cpp:88-156) without ever materializing
+        the full distinct-edge list."""
         o = self.opt
         lib = self._load_lib()
         k1 = o.k_min + 1
+        if o.kmin_1pass:
+            return self._first_graph_1pass(lib, k1)
         if o.use_mesh:
             import jax
 
@@ -191,6 +196,62 @@ class Pipeline:
         # kmer_counter.cpp:409-410)
         vals, cnts = np.unique(counts, return_counts=True)
         with open(self.graph_prefix(o.k_min) + ".counting", "w") as fh:
+            for v, c in zip(vals, cnts):
+                fh.write(f"{v} {c}\n")
+
+    def _first_graph_1pass(self, lib: SequenceLib, k1: int) -> None:
+        """1-pass k_min graph: reads -> bucketed count-mode build.
+
+        The window multiset only exists in the spill files; the solid
+        filter and canonical counts are applied during the per-round
+        dedup (count-mode group sums == the 2-pass counter's values).
+        With mercy on, canonical solid keys are read back from the
+        built graph, mercy edges appended, and the (small) edge set is
+        written for the normal assemble path; with mercy off (the
+        min_count==1 presets), the graph is saved directly.
+        """
+        o = self.opt
+        from ..graph.bucketed import (
+            BuildStats, PoolSource, build_sdbg_bucketed,
+        )
+        from ..core.kmerops import words_per_kmer
+
+        stats = BuildStats()
+        spill = os.path.join(self.tmp_dir, f"k{o.k_min}", "spill")
+        sdbg = build_sdbg_bucketed(
+            [PoolSource(lib.flat_codes, lib.starts,
+                        np.ones(lib.num_seqs, np.int32))],
+            k1, self._budget_rows(words_per_kmer(k1)), spill,
+            mesh=self._mesh(), batch_windows=self._batch_windows(),
+            stats=stats, mult_mode="count", min_count=o.min_count,
+        )
+        self.log.info(
+            "k=%d (1-pass): %d edges, %d rounds (max %d rows)",
+            o.k_min, sdbg.num_valid(), stats.n_rounds,
+            stats.max_round_rows,
+        )
+        prefix = self.graph_prefix(o.k_min)
+        # canonical rows (key <= rc(key) <=> row index <= rc index in
+        # the sorted edge array) for the .counting artifact and mercy
+        idx = np.arange(sdbg.size, dtype=np.int64)
+        canon = sdbg.valid & (idx <= sdbg.rc)
+        keys = sdbg.keys[canon]
+        counts = sdbg.mult[canon]
+        if not o.no_mercy:
+            mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys,
+                                     k1)
+            if len(mercy):
+                keys = np.concatenate([keys, mercy], axis=0)
+                counts = np.concatenate(
+                    [counts, np.ones(len(mercy), np.int32)]
+                )
+            # the assemble stage re-finalizes edges + mercy (small:
+            # E rows, not the window multiset)
+            np.savez(prefix + ".edges.npz", keys=keys, counts=counts)
+        else:
+            sdbg.save(prefix + ".sdbg.npz")
+        vals, cnts = np.unique(counts, return_counts=True)
+        with open(prefix + ".counting", "w") as fh:
             for v, c in zip(vals, cnts):
                 fh.write(f"{v} {c}\n")
 
@@ -244,6 +305,11 @@ class Pipeline:
         mults: list[float] = []
 
         prefix = self.graph_prefix(k)
+        if os.path.exists(prefix + ".sdbg.npz"):
+            # prebuilt graph (1-pass first-graph path)
+            from ..graph.sdbg import Sdbg
+
+            return Sdbg.load(prefix + ".sdbg.npz")
         edge_file = prefix + ".edges.npz"
         edge_keys = edge_counts = None
         n_edge_inputs = 0

@@ -205,3 +205,80 @@ def test_pipeline_forced_bucketed(tmp_path):
                              "spill"))
     assert not os.path.isdir(str(tmp_path / "big" / "tmp" / "k21" /
                                  "spill"))
+
+
+def test_kmin_1pass_matches_two_pass(tmp_path):
+    """--kmin-1pass (read2sdbg S1+S2 equivalent) must produce the same
+    final contigs as the default 2-pass count path, without writing a
+    k_min edge file when mercy is off."""
+    import gzip
+
+    from megahit_tpu.__main__ import main
+    from megahit_tpu.io.contig_io import read_contigs
+
+    genome = RNG.integers(0, 4, size=5000).astype(np.uint8)
+    p1 = str(tmp_path / "r1.fa.gz")
+    p2 = str(tmp_path / "r2.fa.gz")
+    insert, rl = 250, 100
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        for i, s in enumerate(range(0, len(genome) - insert, 3)):
+            frag = genome[s : s + insert]
+            f1.write(f">r{i}/1\n{packing.decode(frag[:rl])}\n")
+            f2.write(
+                f">r{i}/2\n"
+                f"{packing.decode(packing.revcomp_codes(frag[-rl:]))}\n"
+            )
+
+    outs = {}
+    for name, extra in (("two", []), ("one", ["--kmin-1pass"])):
+        out = str(tmp_path / name)
+        rc = main([
+            "-1", p1, "-2", p2, "-o", out, "--k-list", "21,41",
+            "--no-local", "--keep-tmp-files", *extra,
+        ])
+        assert rc == 0
+        outs[name] = sorted(
+            (c.length, packing.decode(c.codes))
+            for c in read_contigs(out + "/final.contigs.fa")
+        )
+    assert outs["one"] == outs["two"]
+    # with mercy ON (default min_count=2), the 1-pass path still emits
+    # an edge file (edges + mercy); the counting artifact must agree
+    c_two = open(str(tmp_path / "two" / "tmp" / "k21" / "k21.counting")
+                 ).read()
+    c_one = open(str(tmp_path / "one" / "tmp" / "k21" / "k21.counting")
+                 ).read()
+    assert c_one == c_two
+
+
+def test_kmin_1pass_min_count_1_skips_edge_file(tmp_path):
+    """min_count=1 presets imply 1-pass + no mercy: the k_min graph is
+    saved directly and no distinct-edge array is ever materialized."""
+    import gzip
+
+    from megahit_tpu.__main__ import main
+    from megahit_tpu.io.contig_io import read_contigs
+
+    genome = RNG.integers(0, 4, size=4000).astype(np.uint8)
+    p1 = str(tmp_path / "r1.fa.gz")
+    with gzip.open(p1, "wt") as f1:
+        for i, s in enumerate(range(0, len(genome) - 100, 2)):
+            f1.write(
+                f">r{i}\n{packing.decode(genome[s:s + 100])}\n"
+            )
+    out = str(tmp_path / "o")
+    rc = main([
+        "-r", p1, "-o", out, "--k-list", "21,41", "--min-count", "1",
+        "--no-local", "--keep-tmp-files",
+    ])
+    assert rc == 0
+    tmp = tmp_path / "o" / "tmp" / "k21"
+    assert not (tmp / "k21.edges.npz").exists()
+    assert (tmp / "k21.sdbg.npz").exists()
+    finals = read_contigs(out + "/final.contigs.fa")
+    assert len(finals) == 1
+    s = packing.decode(finals[0].codes)
+    gs = packing.decode(genome)
+    rcs = packing.decode(packing.revcomp_codes(finals[0].codes))
+    assert s in gs or rcs in gs
+    assert finals[0].length >= len(genome) - 10
