@@ -45,6 +45,33 @@ def init_distributed(
     )
 
 
+def put_global(arr: np.ndarray, mesh, spec):
+    """Create a GLOBAL device array from identical host data on every
+    process (works single- and multi-process, unlike device_put which
+    requires all mesh devices to be addressable)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly non-fully-addressable) global array to host."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def global_shard_mesh():
     """One 1-D mesh over every chip across all hosts (the counting
     shuffle's axis). Device order keeps each host's chips contiguous so

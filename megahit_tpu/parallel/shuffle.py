@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import kmerops
 
@@ -260,27 +260,24 @@ def sharded_sort_kmers(
     vp = np.zeros(npad, dtype=bool)
     vp[:n] = ~np.all(keys == 0xFFFFFFFF, axis=1)
 
-    shard = NamedSharding(mesh, P(axis))
-    kd = jax.device_put(
-        jnp.asarray(kp.reshape(n_dev, npad // n_dev, w)), shard
-    )
-    vd = jax.device_put(
-        jnp.asarray(vp.reshape(n_dev, npad // n_dev)), shard
-    )
+    from .multihost import fetch_global, put_global
+
+    kd = put_global(kp.reshape(n_dev, npad // n_dev, w), mesh, P(axis))
+    vd = put_global(vp.reshape(n_dev, npad // n_dev), mesh, P(axis))
     fn = make_sharded_sorter(mesh, w, axis)
     out_k, out_v, n_over = fn(kd, vd)
-    if int(np.asarray(n_over)[0]) != 0:
+    if int(fetch_global(n_over)[0]) != 0:
         # a source shard concentrated one splitter bin (e.g. the input
         # was already key-clustered across shards); retry with the
         # guaranteed capacity = full shard per destination
         fn = make_sharded_sorter(mesh, w, axis,
                                  capacity_factor=float(n_dev))
         out_k, out_v, n_over = fn(kd, vd)
-    assert int(np.asarray(n_over)[0]) == 0, (
+    assert int(fetch_global(n_over)[0]) == 0, (
         "sample-sort overflow at guaranteed capacity (bug)"
     )
-    out_k = np.asarray(out_k).reshape(-1, w)
-    out_v = np.asarray(out_v).reshape(-1)
+    out_k = fetch_global(out_k).reshape(-1, w)
+    out_v = fetch_global(out_v).reshape(-1)
     return out_k[out_v]
 
 
@@ -314,25 +311,26 @@ def sharded_count_kmers(
     val = np.zeros(npad, dtype=bool)
     val[:n] = True
 
-    packed = jnp.asarray(pack_flat(flat_codes))
-    shard = NamedSharding(mesh, P(axis))
-    posd = jax.device_put(jnp.asarray(pos), shard)
-    vald = jax.device_put(jnp.asarray(val), shard)
+    from .multihost import fetch_global, put_global
+
+    packed = put_global(pack_flat(flat_codes), mesh, P())
+    posd = put_global(pos, mesh, P(axis))
+    vald = put_global(val, mesh, P(axis))
 
     step = make_sharded_counter(mesh, k1, axis)
     skeys, counts, head, n_over = step(packed, posd, vald)
-    if int(np.asarray(n_over)[0]) != 0:
+    if int(fetch_global(n_over)[0]) != 0:
         # hash-skewed input overflowed the 2x capacity; retry at the
         # guaranteed capacity (a whole source shard per destination)
         step = make_sharded_counter(mesh, k1, axis,
                                     capacity_factor=float(n_dev))
         skeys, counts, head, n_over = step(packed, posd, vald)
-    assert int(np.asarray(n_over)[0]) == 0, (
+    assert int(fetch_global(n_over)[0]) == 0, (
         "all_to_all overflow at guaranteed capacity (bug)"
     )
-    skeys = np.asarray(skeys)
-    counts = np.asarray(counts)
-    head = np.asarray(head)
+    skeys = fetch_global(skeys)
+    counts = fetch_global(counts)
+    head = fetch_global(head)
     keep = head & (counts >= min_count)
     out_keys = skeys[keep]
     # clamp to the reference's kMaxMul, as the single-device counter does
