@@ -219,7 +219,9 @@ def count_canonical_kmers(
             vm = np.zeros((size - w) * 16, dtype=bool)
             vm[:span] = valid_all[lo : lo + span]
             n_inv += int(len(vm) - vm.sum())
-            pairs = np.asarray(
+            # fetched buffers may be non-contiguous views (tunneled
+            # TPU backend); .view(uint64) needs a contiguous last axis
+            pairs = np.ascontiguousarray(
                 _extract_canonical_u64le(sub, jnp.asarray(vm), k1)
             )
             u_chunks.append(pairs.view(np.uint64).ravel())

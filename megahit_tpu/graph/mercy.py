@@ -111,7 +111,7 @@ def _flags_host_u64(
             lo_w = lo // 16
             size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
             sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-            pairs = np.asarray(_extract_u64le(sub, k))
+            pairs = np.ascontiguousarray(_extract_u64le(sub, k))
             u = pairs.view(np.uint64).ravel()
             span = min(min(hi, n_bases) - lo, len(u))
             q = u[:span]

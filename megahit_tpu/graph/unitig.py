@@ -199,22 +199,42 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
     # chain containing rc(t); use that chain's canonical start so cycles
     # pair by their min-index representative.
     pair_start = chain_start[sdbg.rc[c_end]]
-    # canonical keep rule: start <= rc-chain-start (palindrome: equal)
-    keep = c_start <= pair_start
-    v_start = c_start[keep]
-    v_end = c_end[keep]
-    v_pair_start = pair_start[keep]
+    # keep rule matches the reference's sequential scan
+    # (unitig_graph.cpp:22-82): a chain is discovered at its TAIL edge
+    # (NextSimplePathEdge == null), scanning edge ids ascending, so the
+    # stored orientation is the one whose tail edge id is smaller
+    # (palindrome: equal). Cycles are discovered at their min edge id
+    # over both orientations (unitig_graph.cpp:90-120).
+    keep = np.where(
+        c_loop, c_start <= pair_start, c_end <= sdbg.rc[c_start]
+    )
+    # reference vertex order: all simple paths (ascending tail id),
+    # then all cycles (ascending min edge id)
+    order = np.lexsort(
+        (np.where(c_loop, c_start, c_end), c_loop.astype(np.int8))
+    )
+    order = order[keep[order]]
+    c_start, c_end = c_start[order], c_end[order]
+    c_loop, c_len, c_depth = c_loop[order], c_len[order], c_depth[order]
+    pair_start = pair_start[order]
+    # cycles anchor at next(min_edge): reference stores
+    # (begin=next(min), end=min) so the string starts one past min
+    v_start = np.where(c_loop, nxt[c_start], c_start).astype(np.int32)
+    v_end = np.where(c_loop, c_start, c_end).astype(np.int32)
+    v_pair_start = pair_start
     v_rc_start = sdbg.rc[v_end]  # traversal anchor for the rc strand
     v_rc_end = sdbg.rc[v_start]
-    v_len = c_len[keep].astype(np.int32)
-    v_depth = c_depth[keep]
-    v_loop = c_loop[keep]
-    v_pal = v_start == v_pair_start
+    v_len = c_len.astype(np.int32)
+    v_depth = c_depth
+    v_loop = c_loop
+    v_pal = c_start == v_pair_start
 
-    # per-edge vertex id: row index by canonical chain start (both chains)
+    # per-edge vertex id: row index by canonical chain start (both
+    # chains); loops key on the chain representative (min edge), not
+    # v_start, which anchors one past it
     row_of_start = np.full(e, NULL, dtype=np.int32)
-    row_of_start[v_start] = np.arange(len(v_start), dtype=np.int32)
-    row_of_start[v_pair_start] = np.arange(len(v_start), dtype=np.int32)
+    row_of_start[c_start] = np.arange(len(c_start), dtype=np.int32)
+    row_of_start[v_pair_start] = np.arange(len(c_start), dtype=np.int32)
     vid = np.full(e, NULL, dtype=np.int32)
     vid[validn] = row_of_start[chain_start[validn]]
 
@@ -434,10 +454,16 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     c_loop = in_cycle[rep]
     pair_first = chain_of[se_rc[c_last]]
 
-    # canonical anchor per super-chain, matching the full rebuild:
-    # chains anchor at their start EDGE id; NEW cycles anchor at their
-    # minimum member edge id (the edge-level mn convention)
-    anchor = se_start.astype(np.int64) if m else se_start
+    # canonical anchor per super-chain, matching the full rebuild
+    # (reference scan convention, see build_unitig_graph): simple
+    # chains anchor at their TAIL edge id (the rc pair's tail is the
+    # rc of the own head edge); NEW cycles anchor at their minimum
+    # member edge id
+    if m:
+        anchor_of = se_end[chain_end[rep]].astype(np.int64)
+        anchor_pair = s.rc[se_start[rep]].astype(np.int64)
+    else:
+        anchor_of = anchor_pair = rep.astype(np.int64)
     if m and in_cycle.any():
         min_edge_chain = np.full(e_sz, e_sz, dtype=np.int64)
         vv = np.flatnonzero(s.valid)
@@ -448,9 +474,9 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         min_edge_se = min_edge_chain[oldchain_key]
         cycmin = np.full(m, e_sz, dtype=np.int64)
         np.minimum.at(cycmin, chain_of, min_edge_se)
-        anchor = np.where(in_cycle, cycmin, anchor)
-    anchor_of = anchor[c_first] if m else c_first
-    anchor_pair = anchor[pair_first] if m else pair_first
+        cyc_rep = in_cycle[rep]
+        anchor_of = np.where(cyc_rep, cycmin[rep], anchor_of)
+        anchor_pair = np.where(cyc_rep, cycmin[pair_first], anchor_pair)
 
     # canonical orientation + order: smaller anchor edge id wins
     keep = anchor_of <= anchor_pair
@@ -534,17 +560,18 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         nxt_new[se_end[no]] = NULL
         prv_new[se_start[np.flatnonzero(prv_se < 0)]] = NULL
 
-    # NEW cycles: v_start already anchored at the min member edge id
-    # (full-rebuild mn convention); fix end = predecessor of the anchor
-    # and re-anchor members' chain_start
+    # NEW cycles: anchored at the min member edge id (full-rebuild mn
+    # convention, end = min, start = next(min)); re-anchor members'
+    # chain_start at the representative (min) edge
     new_loops = np.flatnonzero(v_loop)
     if len(new_loops):
-        v_end[new_loops] = prv_new[v_start[new_loops]]
+        v_end[new_loops] = v_anchor[new_loops].astype(np.int32)
+        v_start[new_loops] = nxt_new[v_end[new_loops]]
         is_new_loop = np.zeros(max(nv, 1), dtype=bool)
         is_new_loop[new_loops] = True
         memb = mc.copy()
         memb[mc] = is_new_loop[vid_new[mc]]
-        chain_start_new[memb] = v_start[vid_new[memb]]
+        chain_start_new[memb] = v_end[vid_new[memb]]
 
     v_rc_start = s.rc[v_end]
     v_rc_end = s.rc[v_start]
@@ -553,16 +580,26 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     def cat(a, b):
         return np.concatenate([a, b]) if len(b) else a
 
+    a_start = cat(v_start, graph.start[ll]).astype(np.int32)
+    a_end = cat(v_end, graph.end[ll]).astype(np.int32)
+    a_loop = cat(v_loop, graph.is_loop[ll])
+    # full-rebuild row order: all chains by tail edge id, then all
+    # loops (new cycles + carried) by their anchor (= end) edge id
+    perm = np.lexsort((a_end, a_loop.astype(np.int8)))
+    inv = np.empty(len(perm), dtype=np.int32)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    ok_v = vid_new >= 0
+    vid_new[ok_v] = inv[vid_new[ok_v]]
+
     g2 = UnitigGraph(
         graph.k, s,
-        cat(v_start, graph.start[ll]).astype(np.int32),
-        cat(v_end, graph.end[ll]).astype(np.int32),
-        cat(v_rc_start, graph.rc_start[ll]).astype(np.int32),
-        cat(v_rc_end, graph.rc_end[ll]).astype(np.int32),
-        cat(v_len, graph.length[ll]).astype(np.int32),
-        cat(v_dep, graph.total_depth[ll]).astype(np.int64),
-        cat(v_loop, graph.is_loop[ll]),
-        cat(v_pal, graph.is_palindrome[ll]),
+        a_start[perm], a_end[perm],
+        cat(v_rc_start, graph.rc_start[ll]).astype(np.int32)[perm],
+        cat(v_rc_end, graph.rc_end[ll]).astype(np.int32)[perm],
+        cat(v_len, graph.length[ll]).astype(np.int32)[perm],
+        cat(v_dep, graph.total_depth[ll]).astype(np.int64)[perm],
+        a_loop[perm],
+        cat(v_pal, graph.is_palindrome[ll])[perm],
         vid_new,
         chain_start=chain_start_new, edge_pos=edge_pos_new,
         nxt=nxt_new, prv=prv_new,

@@ -68,11 +68,12 @@ def read_contigs(
 ) -> list[ContigRecord]:
     """Read a contig FASTA.
 
-    extend_loop_k = (k_from, k_to): loop contigs (flag & 2) are circular;
-    to preserve all (k_to)-windows across the wrap point, append the first
-    (k_to - 1 + 1) bases... the reference appends the loop's head so every
-    next-k window across the junction exists (reference
-    contig_reader.h:112-119 SetExtendLoop). We append k_to bases.
+    extend_loop_k = (k_from, k_to): loop contigs (flag & 2) are
+    circular; their string already wraps k_from bases, so appending
+    bases at positions [k_from, k_to) continues the cycle and exposes
+    every k_to-window across the junction exactly once (reference
+    contig_reader.h:73-86: `ss.push_back(ss[i]) for i in k_from..k_to`;
+    loops shorter than k_to + 1 are dropped entirely).
     """
     out: list[ContigRecord] = []
     name = None
@@ -96,10 +97,12 @@ def read_contigs(
             continue
         if extend_loop_k is not None and (c.flag & FLAG_LOOP):
             k_from, k_to = extend_loop_k
-            # circular contig: expose windows across the wrap point
-            ext = min(k_to, c.length)
+            if c.length < k_to + 1:
+                continue
+            # circular contig: continue the cycle past the k_from-base
+            # wrap so every k_to-window across the junction exists
             c = ContigRecord(
-                np.concatenate([c.codes, c.codes[:ext]]),
+                np.concatenate([c.codes, c.codes[k_from:k_to]]),
                 c.k,
                 c.cid,
                 c.flag,

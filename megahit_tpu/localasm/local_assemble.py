@@ -58,8 +58,7 @@ def estimate_insert_sizes(
             out.append((0.0, 0.0))
             continue
         hist = Histogram(ins)
-        if len(ins) > 2 * int(len(ins) * 0.01):
-            hist.trim(0.01)
+        hist.trim(0.01)  # unconditional (local_assemble.cpp:130)
         out.append((hist.mean(), hist.sd()))
         log.info("lib [%d,%d): insert size %.2f sd %.2f",
                  begin, end, out[-1][0], out[-1][1])
@@ -159,7 +158,18 @@ def run_local_assembly(
 ) -> list[ContigRecord]:
     """Full local assembly pass; returns local contig records
     (reference RunLocalAssembly, local_assemble.cpp:306-347)."""
+    from ..io.contig_io import FLAG_LOOP
+
     log = get_logger()
+    # the reference mapper discards loop contigs (hash_mapper.cpp:60
+    # SetDiscardFlag(kLoop)) and contigs shorter than min_contig_len
+    # (local_assemble.cpp:311 LoadAndBuild(..., opt.min_contig_len, ..)):
+    # circular contigs have no ends to extend, short ones are noise
+    contigs = [
+        c for c in contigs
+        if not (c.flag & FLAG_LOOP) and c.length >= MIN_LOCAL_CONTIG
+        # (reader drops seq.l < min_len, contig_reader.h:62)
+    ]
     contig_codes = [c.codes for c in contigs]
     if not contigs or lib.num_seqs == 0:
         return []

@@ -1,207 +1,655 @@
 """Batched multi-k mini-assembly for local (gap-filling) assembly.
 
-Reference: the embedded single-threaded IDBA subsystem
-(src/idba/hash_graph.cpp Assemble, contig_graph.cpp RemoveDeadEnd /
-RemoveBubble / IterateCoverage) run once per contig end
-(src/localasm/local_assemble.cpp LaunchIDBA, k = 11..41 step 6).
+Exact node-centric reimplementation of the reference's embedded IDBA
+subsystem (src/idba/hash_graph.cpp, contig_graph.cpp,
+contig_graph_branch_group.cpp) as driven by LaunchIDBA
+(src/localasm/local_assemble.cpp:28-81):
 
-TPU redesign: instead of thousands of tiny sequential hash-graph runs,
-ALL contig-end read groups are assembled together in ONE graph per k:
-every (k+1)-mer key is prefixed with one uint32 group-id word, so
-groups stay disconnected inside a single sorted key array, and the
-existing unitig/cleaning machinery (pointer doubling, frontier passes)
-runs on the union. The group word rides along as 16 phantom bases -
-base arithmetic in neighbour queries is offset by 16.
+per k in mink..min(maxk, max_read_len) step 6:
+  1. hash graph over the group's reads: vertices are canonical k-mers
+     with per-strand 4-bit adjacency sets taken from (k+1)-base windows
+     and occurrence counts (hash_graph.cpp:30-55 InsertKmers);
+  2. coverage threshold = percentile(1 - local_range/num_vertices) of
+     the reads-only vertex-count histogram (local_assemble.cpp:56-58);
+  3. the contig end joins with counts, previous-round contigs join
+     without counts (local_assemble.cpp:60-64);
+  4. contract unique links into contigs, dropping cyclic and folded
+     paths (hash_graph.cpp:97-126 AssembleFunc: IsLoop/LockPreempt
+     failures discard the whole path);
+  5. RemoveDeadEnd(2k) doubling trim, RemoveBubble branch groups,
+     IterateCoverage(2k, 1, threshold, 1.1) (contig_graph.cpp:91-216);
+  6. stop early when one contig remains.
 
-Cleaning per k (IDBA semantics): dead-end trimming with doubling
-length schedule (Trim, contig_graph.cpp:91-123), naive bubble popping
-(RemoveBubble ~ lens bubbles of branch length <= k+2), then escalating
-low-coverage removal against a per-group threshold = the coverage
-histogram percentile 1 - local_range/num_vertices (LaunchIDBA,
-local_assemble.cpp:56-58; IterateCoverage factor 1.1).
+TPU-first batching: instead of thousands of tiny sequential hash-graph
+runs, ALL contig-end read groups share one vertex array space (rows
+keyed by (group, k-mer)), so every pass -- adjacency pruning, unique-
+link chain contraction by pointer doubling, trims, coverage passes --
+is one vectorized sweep over the union.  Only the (rare) branch-group
+bubble walks run per candidate.
+
+Known deviations from the reference (documented, both rare):
+  - overlapping bubbles are processed in our deterministic contig
+    order, not IDBA's hash-table order;
+  - a bubble Merge() zeroes the convergence vertex's in-bitset, which
+    one-directionally drops in-edges arriving from outside the bubble;
+    we keep such exterior edges.
+
+All local k values are odd (11..41 step 6), so palindromic k-mers
+cannot occur; the palindrome special cases in the reference
+(contig_graph.cpp:74-80, 92-95) are unreachable and omitted.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..core import kmerops, packing
-from ..graph import cleaning
-from ..graph.counter import pack_flat, window_valid_mask
-from ..graph.sdbg import NULL, Sdbg
-from ..graph.unitig import UnitigGraph, build_unitig_graph, refresh
 from ..utils.log import get_logger
 
-import jax
-import jax.numpy as jnp
+# popcount / single-bit-index lookup for 4-bit adjacency sets
+_POP4 = np.array([bin(i).count("1") for i in range(16)], dtype=np.int8)
+_BIT4 = np.array(
+    [{1: 0, 2: 1, 4: 2, 8: 3}.get(i, -1) for i in range(16)],
+    dtype=np.int8,
+)
 
-GROUP_BASES = 16  # one uint32 word of group id = 16 phantom bases
-
-
-def _grouped_neighbor_tables(full_keys: np.ndarray, k: int):
-    """rc + 4 candidate tables for keys laid out as
-    [group_word | kmer_words], matching only within the same group
-    (the shared sort-join with one group word)."""
-    from ..graph.sdbg import _neighbor_tables
-
-    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
-        jnp.asarray(full_keys), k, n_group_words=1
-    )
-    return (np.asarray(rc_idx), np.asarray(oc_t), np.asarray(ic_t),
-            np.asarray(oc_s), np.asarray(ic_s))
+_U64 = np.uint64
 
 
-def grouped_sdbg(
-    group_ids: np.ndarray, keys: np.ndarray, counts: np.ndarray, k: int
-) -> Sdbg:
-    """Build one Sdbg over many disconnected per-group subgraphs.
-
-    keys: (N, W) canonical k-mers (deduplicated per group), counts: per
-    key. The stored Sdbg has k_fat = k + 16 with the group id occupying
-    the first 16 phantom bases (unitig reconstruction strips them)."""
-    w = keys.shape[1] if keys.ndim == 2 else kmerops.words_per_kmer(k)
-    if len(keys) == 0:
-        z4 = np.zeros((0, 4), dtype=np.int32)
-        return Sdbg(k + GROUP_BASES, np.zeros((0, w + 1), np.uint32),
-                    np.zeros(0, np.int32), np.zeros(0, np.int32),
-                    z4, z4.copy(), z4.copy(), z4.copy(),
-                    np.zeros(0, bool))
-    rc = np.asarray(kmerops.revcomp_kmers(jnp.asarray(keys), k))
-    both_g = np.concatenate([group_ids, group_ids]).astype(np.uint32)
-    both_k = np.concatenate([keys, rc], axis=0)
-    both_m = np.concatenate([counts, counts]).astype(np.int32)
-    full = np.concatenate([both_g[:, None], both_k], axis=1)
-
-    order = np.lexsort(tuple(full[:, i] for i in range(w, -1, -1)))
-    full, both_m = full[order], both_m[order]
-    head = np.ones(len(full), dtype=bool)
-    head[1:] = (full[1:] != full[:-1]).any(axis=1)
-    gid = np.cumsum(head) - 1
-    gmax = np.zeros(head.sum(), dtype=np.int64)
-    np.maximum.at(gmax, gid, both_m)
-    edges = full[head]
-    mult = gmax.astype(np.int32)
-
-    rc_idx, oc_t, ic_t, oc_s, ic_s = _grouped_neighbor_tables(edges, k)
-    assert (rc_idx >= 0).all()
-
-    # pad to power-of-two capacity with inert rows (compile reuse
-    # across refreshes; see graph.sdbg._finalize_sdbg)
-    from ..graph.counter import _pow2_pad
-
-    e = len(edges)
-    cap = _pow2_pad(max(e, 16))
-    padn = cap - e
-
-    def padi(a, fill):
-        return np.concatenate(
-            [a, np.full((padn,) + a.shape[1:], fill, a.dtype)]
-        ) if padn else a
-
-    keys_p = padi(edges, 0xFFFFFFFF)
-    rc_p = np.concatenate(
-        [rc_idx, np.arange(e, cap, dtype=rc_idx.dtype)]
-    ) if padn else rc_idx
-    return Sdbg(
-        k=k + GROUP_BASES, keys=keys_p, mult=padi(mult, 0), rc=rc_p,
-        oc_t=padi(oc_t, np.int32(NULL)), ic_t=padi(ic_t, np.int32(NULL)),
-        oc_s=padi(oc_s, np.int32(NULL)), ic_s=padi(ic_s, np.int32(NULL)),
-        valid=np.concatenate([np.ones(e, bool), np.zeros(padn, bool)]),
-    )
+def _codes_to_hilo(cm: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fold (N, k) 2-bit codes (big-endian) into (hi, lo) uint64 pairs
+    whose numeric order equals lexicographic base order."""
+    n = cm.shape[0]
+    hi = np.zeros(n, _U64)
+    lo = np.zeros(n, _U64)
+    for j in range(k):
+        shift = 2 * (k - 1 - j)
+        c = cm[:, j].astype(_U64)
+        if shift >= 64:
+            hi |= c << _U64(shift - 64)
+        else:
+            lo |= c << _U64(shift)
+    return hi, lo
 
 
-def _count_group_kmers(
-    groups_reads: list[list[np.ndarray]], k1: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(group_ids, canonical keys, counts) over all groups' reads."""
-    seqs: list[np.ndarray] = []
-    gid_of_seq: list[int] = []
-    for g, reads in enumerate(groups_reads):
-        for r in reads:
-            if len(r) >= k1:
-                seqs.append(r)
-                gid_of_seq.append(g)
-    w = kmerops.words_per_kmer(k1)
-    if not seqs:
-        return (np.zeros(0, np.uint32), np.zeros((0, w), np.uint32),
-                np.zeros(0, np.int32))
-    flat, starts = packing.pack_many(seqs)
-    n_bases = int(starts[-1])
-    packed = np.concatenate([pack_flat(flat), np.zeros(w + 1, np.uint32)])
-    keys = np.asarray(
-        kmerops.extract_all_kmers(jnp.asarray(packed), k1)
-    )[:n_bases]
-    canon, _ = kmerops.canonical_kmers(jnp.asarray(keys), k1)
-    canon = np.asarray(canon)
-    vm = window_valid_mask(starts, k1, n_bases)
-    lengths = np.diff(starts)
-    gid_at = np.repeat(np.array(gid_of_seq, np.int64), lengths)
-    canon, gid_at = canon[vm], gid_at[vm]
+def _bisect2(t_hi: np.ndarray, t_lo: np.ndarray,
+             q_hi: np.ndarray, q_lo: np.ndarray) -> np.ndarray:
+    """Exact-match index of each (q_hi, q_lo) in the sorted pair table
+    (t_hi, t_lo); -1 where absent. Vectorized two-column bisect."""
+    if len(t_hi) == 0 or len(q_hi) == 0:
+        return np.full(len(q_hi), -1, np.int64)
+    lo = np.searchsorted(t_hi, q_hi, "left")
+    hi = np.searchsorted(t_hi, q_hi, "right")
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) >> 1
+        v = t_lo[np.minimum(mid, len(t_lo) - 1)]
+        right = active & (v < q_lo)
+        lo = np.where(right, mid + 1, lo)
+        hi = np.where(active & ~right, mid, hi)
+    idx = np.minimum(lo, len(t_hi) - 1)
+    found = (t_hi[idx] == q_hi) & (t_lo[idx] == q_lo)
+    return np.where(found, idx, -1)
 
-    full = np.concatenate(
-        [gid_at[:, None].astype(np.uint32), canon], axis=1
-    )
-    order = np.lexsort(tuple(full[:, i] for i in range(w, -1, -1)))
-    full = full[order]
-    head = np.ones(len(full), dtype=bool)
-    head[1:] = (full[1:] != full[:-1]).any(axis=1)
+
+class _VertexTable:
+    """Sorted (group, canonical k-mer) vertex rows with per-strand
+    adjacency bitsets and occurrence counts (the batched HashGraph)."""
+
+    def __init__(self, k: int, gid, vk, cnt, rcnt, out0, out1):
+        self.k = k
+        self.gid = gid        # (V,) int64 group id
+        self.vk = vk          # (V, k) uint8 canonical codes
+        self.cnt = cnt        # (V,) int64 read + contig-end occurrences
+        self.rcnt = rcnt      # (V,) int64 read-only occurrences
+        self.out0 = out0      # (V,) uint8 out-edge bits, canonical strand
+        self.out1 = out1      # (V,) uint8 out-edge bits, rc strand
+        self.alive = np.ones(len(gid), dtype=bool)
+        self.bits_hi = max(0, 2 * k - 64)
+        c_hi, c_lo = _codes_to_hilo(vk, k)
+        self.key_hi = (gid.astype(_U64) << _U64(self.bits_hi)) | c_hi
+        self.key_lo = c_lo
+
+    @property
+    def size(self) -> int:
+        return len(self.gid)
+
+
+def _build_vertices(seqs: list[np.ndarray], gids: list[int],
+                    kinds: list[int], k: int) -> _VertexTable | None:
+    """Insert every sequence's k-windows (hash_graph.cpp:30-83
+    InsertKmers / InsertUncountKmers). kind 0 = read (counted, in the
+    histogram), 1 = contig end (counted), 2 = previous contig
+    (uncounted)."""
+    keep = [(s, g, kd) for s, g, kd in zip(seqs, gids, kinds)
+            if len(s) >= k]
+    if not keep:
+        return None
+    lens = np.array([len(s) for s, _, _ in keep], dtype=np.int64)
+    flat = np.concatenate([s for s, _, _ in keep]).astype(np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    g_of = np.array([g for _, g, _ in keep], dtype=np.int64)
+    kd_of = np.array([kd for _, _, kd in keep], dtype=np.int8)
+
+    nwin = lens - k + 1
+    sid = np.repeat(np.arange(len(keep)), nwin)
+    off = np.arange(len(sid)) - np.repeat(
+        np.concatenate([[0], np.cumsum(nwin)])[:-1], nwin)
+    base = starts[sid] + off
+    cm = flat[base[:, None] + np.arange(k)[None, :]]          # (N, k)
+    has_prev = off > 0
+    has_next = off + k < lens[sid]
+    prev_b = np.where(has_prev, flat[np.maximum(base - 1, 0)], 0)
+    next_b = np.where(has_next,
+                      flat[np.minimum(base + k, len(flat) - 1)], 0)
+
+    f_hi, f_lo = _codes_to_hilo(cm, k)
+    rcm = (3 - cm[:, ::-1]).astype(np.uint8)
+    r_hi, r_lo = _codes_to_hilo(rcm, k)
+    is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+    c_hi = np.where(is_f, f_hi, r_hi)
+    c_lo = np.where(is_f, f_lo, r_lo)
+    canon_cm = np.where(is_f[:, None], cm, rcm)
+
+    nb_bit = np.where(has_next, (1 << next_b).astype(np.uint8), 0)
+    pb_bit = np.where(has_prev, (1 << (3 - prev_b)).astype(np.uint8), 0)
+    bits0 = np.where(is_f, nb_bit, pb_bit).astype(np.uint8)
+    bits1 = np.where(is_f, pb_bit, nb_bit).astype(np.uint8)
+
+    gid_w = g_of[sid]
+    kd_w = kd_of[sid]
+    order = np.lexsort((c_lo, c_hi, gid_w))
+    gid_w, c_hi, c_lo = gid_w[order], c_hi[order], c_lo[order]
+    canon_cm, bits0, bits1 = canon_cm[order], bits0[order], bits1[order]
+    kd_w = kd_w[order]
+
+    head = np.ones(len(gid_w), dtype=bool)
+    head[1:] = ((gid_w[1:] != gid_w[:-1]) | (c_hi[1:] != c_hi[:-1])
+                | (c_lo[1:] != c_lo[:-1]))
+    hidx = np.flatnonzero(head)
     seg = np.cumsum(head) - 1
-    counts = np.bincount(seg).astype(np.int32)
-    return (full[head][:, 0], full[head][:, 1:], counts)
+    v = len(hidx)
+    out0 = np.bitwise_or.reduceat(bits0, hidx)
+    out1 = np.bitwise_or.reduceat(bits1, hidx)
+    cnt = np.bincount(seg, weights=(kd_w <= 1), minlength=v)
+    rcnt = np.bincount(seg, weights=(kd_w == 0), minlength=v)
+    return _VertexTable(
+        k, gid_w[hidx], canon_cm[hidx],
+        cnt.astype(np.int64), rcnt.astype(np.int64), out0, out1,
+    )
 
 
-def _vertex_groups(g: UnitigGraph) -> np.ndarray:
-    """Group id of each unitig = group word of its first edge key."""
-    if g.size == 0:
-        return np.zeros(0, np.int64)
-    return g.sdbg.keys[g.start, 0].astype(np.int64)
+def _thresholds(tbl: _VertexTable, local_ranges: dict[int, int],
+                n_groups: int) -> np.ndarray:
+    """Per-group coverage cutoff: Histgram::percentile
+    (utils/histgram.h:103-114) of the reads-only vertex counts at
+    p = 1 - local_range/num_vertices (local_assemble.cpp:56-58).
+    percentile == sorted_counts[floor(N*p)]; p < 0 (local_range >
+    num_vertices) underflows size_t in the reference and yields 0."""
+    thr = np.zeros(n_groups)
+    has = tbl.rcnt > 0
+    for g in np.unique(tbl.gid[has]):
+        cnts = np.sort(tbl.rcnt[has & (tbl.gid == g)])
+        n = len(cnts)
+        lr = local_ranges[int(g)]
+        if n == 0 or lr > n:
+            continue
+        thr[int(g)] = cnts[int(n * (1.0 - lr / n))]
+    return thr
 
 
-def _trim_dead_ends(g: UnitigGraph, min_len: int) -> UnitigGraph:
-    """IDBA RemoveDeadEnd (contig_graph.cpp:91-123): doubling schedule
-    of Trim(l) = remove unitigs with a free end, total degree <= 1 and
-    length (edges) < l; palindromic single-k vertices are kept."""
-    def trim(graph: UnitigGraph, L: int) -> UnitigGraph:
-        t = cleaning.NbrTables(graph)
-        ind, outd = t.outdeg[:, 1], t.outdeg[:, 0]
-        kill = (
-            ((ind == 0) | (outd == 0))
-            & (ind + outd <= 1)
-            & (graph.length < L)
-            & ~(graph.is_palindrome & (graph.length == 1))
-        )
-        if kill.any():
-            graph.to_delete |= kill
-            graph = refresh(graph)
-        return graph
+class _Contigs:
+    """One contraction of the live vertices into maximal unique-link
+    chains (= IDBA contigs after MergeSimplePaths)."""
 
-    L = 1
-    while L != min_len:
-        L = min(2 * L, min_len)
-        g = trim(g, L)
-    return trim(g, min_len)
+    __slots__ = (
+        "tbl", "n", "kcount", "gidc", "alive_c",
+        "adaptors", "chain_start", "chain_of_adaptor",
+        "nbr_chain", "nbr_strand", "raw_bits",
+    )
+
+    def __init__(self, tbl, n, kcount, gidc, adaptors, chain_start,
+                 chain_of_adaptor, nbr_chain, nbr_strand, raw_bits):
+        self.tbl = tbl
+        self.n = n                      # (C,) vertices per chain
+        self.kcount = kcount            # (C,) sum of vertex counts
+        self.gidc = gidc                # (C,) group id
+        self.alive_c = np.ones(len(n), dtype=bool)
+        self.adaptors = adaptors        # ordered local adaptor ids
+        self.chain_start = chain_start  # (C+1,) offsets into adaptors
+        self.chain_of_adaptor = chain_of_adaptor
+        self.nbr_chain = nbr_chain      # (C, 2, 4) neighbour chain/-1
+        self.nbr_strand = nbr_strand    # (C, 2, 4) arrival strand
+        self.raw_bits = raw_bits        # (C, 2) uint8 pruned bitsets
+
+    @property
+    def size(self) -> int:
+        return len(self.n)
+
+    def contig_size(self, c: int) -> int:
+        return int(self.n[c]) + self.tbl.k - 1
+
+    def live_degree(self, c: int, s: int) -> int:
+        d = 0
+        for b in range(4):
+            nc = self.nbr_chain[c, s, b]
+            if nc >= 0 and self.alive_c[nc]:
+                d += 1
+        return d
+
+    def degrees(self) -> tuple[np.ndarray, np.ndarray]:
+        """(out_deg_strand0, out_deg_strand1) against live chains."""
+        ok = (self.nbr_chain >= 0)
+        ok &= self.alive_c[np.maximum(self.nbr_chain, 0)]
+        d = ok.sum(axis=2)
+        return d[:, 0].astype(np.int32), d[:, 1].astype(np.int32)
+
+    def kill(self, mask: np.ndarray) -> None:
+        """Mark chains dead and release their vertices."""
+        self.alive_c &= ~mask
+        for c in np.flatnonzero(mask):
+            s, e = self.chain_start[c], self.chain_start[c + 1]
+            self.tbl.alive[self.adaptors[s:e] >> 1] = False
+
+    def codes_of(self, c: int) -> np.ndarray:
+        """Base string of chain c (strand-0 orientation)."""
+        tbl, k = self.tbl, self.tbl.k
+        s, e = self.chain_start[c], self.chain_start[c + 1]
+        ads = self.adaptors[s:e]
+        vs, ss = ads >> 1, ads & 1
+        first = tbl.vk[vs[0]] if ss[0] == 0 else \
+            (3 - tbl.vk[vs[0]][::-1]).astype(np.uint8)
+        if len(ads) == 1:
+            return first.copy()
+        last_b = np.where(ss[1:] == 0, tbl.vk[vs[1:], k - 1],
+                          3 - tbl.vk[vs[1:], 0]).astype(np.uint8)
+        return np.concatenate([first, last_b])
 
 
-def _remove_low_coverage_grouped(
-    g: UnitigGraph, thresholds: np.ndarray, min_len: int
-) -> UnitigGraph:
-    """IDBA IterateCoverage (contig_graph.cpp:184-216): escalate
-    min_cover from 1 by x1.1 up to each group's threshold, removing
-    short weakly-connected unitigs below it."""
-    cover = 1.0
-    max_thr = float(thresholds.max()) if len(thresholds) else 0.0
-    while cover < max_thr:
-        vg = _vertex_groups(g)
-        thr = np.minimum(cover, thresholds[vg]) if g.size else np.zeros(0)
-        t = cleaning.NbrTables(g)
-        ind, outd = t.outdeg[:, 1], t.outdeg[:, 0]
-        weak = ((ind <= 1) & (outd <= 1)) | (ind == 0) | (outd == 0)
-        kill = weak & (g.length < min_len) & (g.avg_depth() < thr)
-        if kill.any():
-            g.to_delete |= kill
-            g = refresh(g)
-        cover *= 1.1
-    return g
+def _contract(tbl: _VertexTable) -> _Contigs:
+    """Unique-link chain contraction over live vertices with pruned
+    adjacency (contig_graph.cpp:53-83 RefreshEdges + 225-283 Assemble).
+    Cyclic chains and folded (self-revisiting) chains are discarded and
+    their vertices die (IsLoop / LockPreempt-failure semantics)."""
+    k = tbl.k
+    av = np.flatnonzero(tbl.alive)
+    nv = len(av)
+    if nv == 0:
+        z = np.zeros(0, np.int64)
+        return _Contigs(tbl, z, z, z, z, np.zeros(1, np.int64),
+                        np.full(0, -1, np.int64),
+                        np.full((0, 2, 4), -1, np.int64),
+                        np.full((0, 2, 4), -1, np.int8),
+                        np.zeros((0, 2), np.uint8))
+    inv = np.full(tbl.size, -1, np.int64)
+    inv[av] = np.arange(nv)
+    fwd = tbl.vk[av]
+    rcm = (3 - fwd[:, ::-1]).astype(np.uint8)
+    raw = np.stack([tbl.out0[av], tbl.out1[av]], axis=1)  # (nv, 2)
+
+    nbr_v = np.full((nv, 2, 4), -1, np.int64)   # local neighbour vertex
+    nbr_t = np.zeros((nv, 2, 4), np.int8)       # neighbour strand
+    pruned = np.zeros((nv, 2), np.uint8)
+    gkey = tbl.gid[av].astype(_U64) << _U64(tbl.bits_hi)
+    for s in (0, 1):
+        om = fwd if s == 0 else rcm
+        tail = om[:, 1:]
+        for b in range(4):
+            has = ((raw[:, s] >> b) & 1).astype(bool)
+            if not has.any():
+                continue
+            sh = np.concatenate(
+                [tail[has], np.full((has.sum(), 1), b, np.uint8)], axis=1)
+            f_hi, f_lo = _codes_to_hilo(sh, k)
+            rsh = (3 - sh[:, ::-1]).astype(np.uint8)
+            r_hi, r_lo = _codes_to_hilo(rsh, k)
+            is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+            q_hi = gkey[has] | np.where(is_f, f_hi, r_hi)
+            q_lo = np.where(is_f, f_lo, r_lo)
+            gi = _bisect2(tbl.key_hi, tbl.key_lo, q_hi, q_lo)
+            ok = (gi >= 0) & tbl.alive[np.maximum(gi, 0)]
+            li = np.where(ok, inv[np.maximum(gi, 0)], -1)
+            rows = np.flatnonzero(has)
+            nbr_v[rows, s, b] = li
+            nbr_t[rows, s, b] = np.where(is_f, 0, 1)
+            pruned[rows[ok], s] |= np.uint8(1 << b)
+
+    pop = _POP4[pruned]                          # (nv, 2)
+    # succ per adaptor a = 2*v + s  (GetNextVertexAdaptor,
+    # contig_graph.h:116-123: unique out, unique in at next, and the
+    # palindrome-bounce break IsPalindromeLoop)
+    succ = np.full(2 * nv, -1, np.int64)
+    for s in (0, 1):
+        single = pop[:, s] == 1
+        rows = np.flatnonzero(single)
+        if len(rows) == 0:
+            continue
+        b = _BIT4[pruned[rows, s]].astype(np.int64)
+        w = nbr_v[rows, s, b]
+        t = nbr_t[rows, s, b].astype(np.int64)
+        ok = pop[w, 1 - t] == 1
+        bounce = (w == rows) & (t == 1 - s)      # next == rc(current)
+        ok &= ~bounce
+        succ[rows[ok] * 2 + s] = w[ok] * 2 + t[ok]
+
+    # predecessor via twin symmetry; doubling for leader + rank
+    a_ids = np.arange(2 * nv)
+    twin = a_ids ^ 1
+    st = succ[twin]
+    pred = np.where(st >= 0, st ^ 1, -1)
+    par = np.where(pred >= 0, pred, a_ids)
+    rank = (pred >= 0).astype(np.int64)
+    iters = max(1, int(np.ceil(np.log2(max(2 * nv, 2)))) + 1)
+    for _ in range(iters):
+        rank = rank + rank[par]
+        par = par[par]
+    cyc = pred[par] >= 0
+    if cyc.any():
+        tbl.alive[av[np.unique(a_ids[cyc] >> 1)]] = False
+        return _contract(tbl)
+
+    leader = par
+    tail_mask = succ < 0
+    # chain length per leader; keep one of each fwd/rc pair
+    order = np.lexsort((rank, leader))
+    lead_s = leader[order]
+    seg_head = np.ones(len(order), dtype=bool)
+    seg_head[1:] = lead_s[1:] != lead_s[:-1]
+    sidx = np.flatnonzero(seg_head)
+    seg_end = np.concatenate([sidx[1:], [len(order)]])
+    heads = order[sidx]
+    tails = order[seg_end - 1]
+    keep = heads < (tails ^ 1)
+    # fold detection: a vertex appearing twice within a kept chain
+    seg_id = np.cumsum(seg_head) - 1
+    vorder = np.lexsort((order >> 1, lead_s))
+    dupv = np.zeros(len(order), dtype=bool)
+    dupv[1:] = ((lead_s[vorder][1:] == lead_s[vorder][:-1])
+                & ((order[vorder][1:] >> 1) == (order[vorder][:-1] >> 1)))
+    if dupv.any():
+        # folded chains revisit a vertex: IDBA's LockPreempt fails and
+        # the whole path is discarded (hash_graph.cpp:113-118); its
+        # vertices never re-enter the graph
+        folded_segs = np.unique(seg_id[vorder][dupv])
+        fold_mask = np.zeros(len(sidx), dtype=bool)
+        fold_mask[folded_segs] = True
+        for si in folded_segs:
+            ads = order[sidx[si]:seg_end[si]]
+            tbl.alive[av[np.unique(ads >> 1)]] = False
+        keep &= ~fold_mask
+
+    n = (seg_end - sidx)[keep].astype(np.int64)
+    # ordered adaptors of kept chains, concatenated
+    keep_row = keep[seg_id]
+    adaptors = order[keep_row]
+    chain_start = np.concatenate([[0], np.cumsum(n)])
+    vs_all = av[adaptors >> 1]
+    kcount = np.add.reduceat(tbl.cnt[vs_all], chain_start[:-1]) \
+        if len(n) else np.zeros(0, np.int64)
+    gidc = tbl.gid[vs_all[chain_start[:-1]]] if len(n) \
+        else np.zeros(0, np.int64)
+
+    # adaptor -> chain (both directions map to the kept chain)
+    chain_of_adaptor = np.full(2 * nv, -1, np.int64)
+    chain_of_adaptor[adaptors] = np.repeat(np.arange(len(n)), n)
+    chain_of_adaptor[adaptors ^ 1] = chain_of_adaptor[adaptors]
+
+    # adaptor ids above index the COMPACTED live array (av); the stored
+    # chain adaptors must be global table ids for kill()/codes_of()
+    adaptors_g = (av[adaptors >> 1] << 1) | (adaptors & 1)
+
+    c = len(n)
+    heads_k = adaptors[chain_start[:-1]] if c else np.zeros(0, np.int64)
+    tails_k = adaptors[chain_start[1:] - 1] if c else np.zeros(0, np.int64)
+    raw_bits = np.zeros((c, 2), np.uint8)
+    nbr_chain = np.full((c, 2, 4), -1, np.int64)
+    nbr_strand = np.full((c, 2, 4), -1, np.int8)
+    for s_c, ad in ((0, tails_k), (1, heads_k ^ 1)):
+        vv, ss = ad >> 1, ad & 1
+        raw_bits[:, s_c] = pruned[vv, ss]
+        for b in range(4):
+            has = ((pruned[vv, ss] >> b) & 1).astype(bool)
+            rows = np.flatnonzero(has)
+            if len(rows) == 0:
+                continue
+            w = nbr_v[vv[rows], ss[rows], b]
+            t = nbr_t[vv[rows], ss[rows], b].astype(np.int64)
+            wa = w * 2 + t
+            nc = chain_of_adaptor[wa]
+            nbr_chain[rows, s_c, b] = nc
+            # arriving strand: 0 if (w,t) is that chain's head
+            okc = nc >= 0
+            hk = heads_k[np.maximum(nc, 0)]
+            nbr_strand[rows, s_c, b] = np.where(
+                okc & (hk == wa), 0, 1).astype(np.int8)
+    return _Contigs(tbl, n, kcount, gidc, adaptors_g, chain_start,
+                    chain_of_adaptor, nbr_chain, nbr_strand, raw_bits)
+
+
+def _trim(cg: _Contigs, min_length: int) -> int:
+    """ContigGraph::Trim (contig_graph.cpp:91-110): kill short chains
+    with a free end and total degree <= 1. Lengths are in vertices:
+    contig_size < min_length + k - 1  <=>  n < min_length."""
+    d0, d1 = cg.degrees()
+    kill = (cg.alive_c
+            & ((d0 == 0) | (d1 == 0))
+            & (d0 + d1 <= 1)
+            & (cg.n < min_length))
+    cg.kill(kill)
+    return int(kill.sum())
+
+
+def _remove_dead_end(tbl: _VertexTable, cg: _Contigs,
+                     min_length: int) -> _Contigs:
+    """ContigGraph::RemoveDeadEnd (contig_graph.cpp:112-123)."""
+    length = 1
+    while True:
+        length = min(2 * length, min_length)
+        if _trim(cg, length):
+            cg = _contract(tbl)
+        if length == min_length:
+            return cg
+
+
+def _internal_size(cg: _Contigs, path: list[tuple[int, int]]) -> int:
+    """ContigGraphPath::internal_size (contig_graph_path.h:119-127)."""
+    if len(path) <= 1:
+        return len(path)
+    k = cg.tbl.k
+    size = k + 1
+    for c, _ in path[1:-1]:
+        size += cg.contig_size(c)
+    return size - (len(path) - 1) * (k - 1)
+
+
+def _branch_search(cg: _Contigs, c0: int, s0: int):
+    """ContigGraphBranchGroup::Search (contig_graph_branch_group.cpp:
+    17-85): level-synchronous expansion of <=4 branches to internal
+    size exactly k+2, converging on one end vertex."""
+    k = cg.tbl.k
+    max_len = k + 2
+    if cg.contig_size(c0) == k:
+        return None
+    bits = [b for b in range(4) if cg.nbr_chain[c0, s0, b] >= 0
+            and cg.alive_c[cg.nbr_chain[c0, s0, b]]]
+    if len(bits) <= 1:
+        return None
+    branches = [[(c0, s0)]]
+    converge = False
+    end = None
+    for _ in range(1, max_len):
+        num = len(branches)
+        extended = False
+        for i in range(num):
+            if _internal_size(cg, branches[i]) >= max_len:
+                continue
+            cc, cs = branches[i][-1]
+            first = True
+            base = list(branches[i])
+            found_any = False
+            for b in range(4):
+                nc = cg.nbr_chain[cc, cs, b]
+                if nc < 0:
+                    continue
+                if not cg.alive_c[nc]:
+                    return None          # next.status().IsDead()
+                nxt = (int(nc), int(cg.nbr_strand[cc, cs, b]))
+                found_any = True
+                if first:
+                    branches[i].append(nxt)
+                    first = False
+                else:
+                    if len(branches) == 4:
+                        return None
+                    branches.append(base + [nxt])
+                extended = True
+            if not found_any:
+                return None              # out_edges().size() == 0
+        end = branches[0][-1]
+        if cg.contig_size(end[0]) > k:
+            converge = all(
+                br[-1] == end and _internal_size(cg, br) == max_len
+                for br in branches)
+            if converge:
+                break
+        if not extended:
+            break
+    if not (converge and (c0, s0) != end):
+        return None
+    return branches
+
+
+def _remove_bubble(tbl: _VertexTable, cg: _Contigs) -> _Contigs:
+    """ContigGraph::RemoveBubble (contig_graph.cpp:125-182): two-phase
+    candidate collection + merge; each confirmed group keeps only its
+    highest-kmer-count branch (contig_graph_branch_group.cpp:87-112)."""
+
+    def confirmed(c, s):
+        br = _branch_search(cg, c, s)
+        if br is None:
+            return None
+        # reverse search from rc(end) must converge back at rc(begin)
+        ec, es = br[0][-1]
+        rbr = _branch_search(cg, ec, 1 - es)
+        if rbr is None or rbr[0][-1] != (c, 1 - s):
+            return None
+        return br
+
+    candidates = []
+    for c in range(cg.size):
+        for s in (0, 1):
+            if cg.live_degree(c, s) > 1 and cg.contig_size(c) > tbl.k \
+                    and confirmed(c, s) is not None:
+                candidates.append((c, s))
+
+    merged = 0
+    for c, s in candidates:
+        if not cg.alive_c[c] or cg.live_degree(c, s) <= 1:
+            continue
+        br = confirmed(c, s)
+        if br is None:
+            continue
+        best = 0
+        best_kc = -1
+        for i, path in enumerate(br):
+            kc = sum(int(cg.kcount[cc]) for cc, _ in path)
+            if kc > best_kc:
+                best, best_kc = i, kc
+        dead = set()
+        for path in br:
+            for cc, _ in path[1:-1]:
+                dead.add(cc)
+        for cc, _ in br[best][1:-1]:
+            dead.discard(cc)
+        if dead:
+            kill = np.zeros(cg.size, dtype=bool)
+            kill[list(dead)] = True
+            cg.kill(kill)
+            merged += 1
+    if merged:
+        cg = _contract(tbl)
+    return cg
+
+
+def _iterate_coverage(tbl: _VertexTable, cg: _Contigs,
+                      min_length: int, thresholds: np.ndarray) -> _Contigs:
+    """ContigGraph::IterateCoverage + RemoveLowCoverage
+    (contig_graph.cpp:184-216) with the per-group pass schedule of
+    LaunchIDBA: group g sees passes at cover = min(1, thr_g) * 1.1^j,
+    always at least one, stopping before cover >= thr_g."""
+    factor = 1.1
+    j = 0
+    while True:
+        cover = np.where(thresholds > 1.0, 1.0, thresholds) \
+            * (factor ** j)
+        scheduled = (j == 0) | (cover < thresholds)
+        if not scheduled.any():
+            return cg
+        if cg.size:
+            cov_c = cover[cg.gidc]
+            sch_c = scheduled[cg.gidc]
+            d0, d1 = cg.degrees()
+            weak = ((d0 <= 1) & (d1 <= 1)) | (d0 == 0) | (d1 == 0)
+            coverage = cg.kcount / np.maximum(cg.n, 1)
+            kill = (cg.alive_c & sch_c & weak
+                    & (cg.n < min_length) & (coverage < cov_c))
+            if kill.any():
+                cg.kill(kill)
+                cg = _contract(tbl)
+        j += 1
+
+
+def _idba_slab(groups_reads, contig_ends, group_ids, mink, maxk, step,
+               out):
+    """Run the full k-ladder for one slab of groups; writes results
+    into out[g] (LaunchIDBA, local_assemble.cpp:28-81)."""
+    n = len(group_ids)
+    maxrl = [max((len(r) for r in reads), default=0)
+             for reads in groups_reads]
+    active = [True] * n
+    for k in range(mink, maxk + 1, step):
+        in_round = [active[i] and k <= min(maxk, maxrl[i])
+                    for i in range(n)]
+        if not any(in_round):
+            break
+        seqs, gids, kinds = [], [], []
+        for i in range(n):
+            if not in_round[i]:
+                continue
+            for r in groups_reads[i]:
+                if len(r) >= k:
+                    seqs.append(r)
+                    gids.append(i)
+                    kinds.append(0)
+            seqs.append(contig_ends[i])
+            gids.append(i)
+            kinds.append(1)
+            for cseq in out[group_ids[i]]:
+                seqs.append(cseq)
+                gids.append(i)
+                kinds.append(2)
+        tbl = _build_vertices(seqs, gids, kinds, k)
+        if tbl is None:
+            continue
+        lr = {i: len(contig_ends[i]) for i in range(n)}
+        thr = _thresholds(tbl, lr, n)
+
+        cg = _contract(tbl)
+        cg = _remove_dead_end(tbl, cg, 2 * k)
+        cg = _remove_bubble(tbl, cg)
+        cg = _iterate_coverage(tbl, cg, 2 * k, thr)
+
+        for i in range(n):
+            if in_round[i]:
+                out[group_ids[i]] = []
+        for c in np.flatnonzero(cg.alive_c):
+            gi = int(cg.gidc[c])
+            if in_round[gi]:
+                out[group_ids[gi]].append(cg.codes_of(int(c)))
+        for i in range(n):
+            if in_round[i] and len(out[group_ids[i]]) == 1:
+                active[i] = False      # LaunchIDBA early break
 
 
 def mini_assemble(
@@ -213,68 +661,34 @@ def mini_assemble(
 ) -> dict[int, list[np.ndarray]]:
     """Assemble each group's reads + its contig end; returns
     {group: [contig codes]} (reference LaunchIDBA,
-    local_assemble.cpp:28-81)."""
+    local_assemble.cpp:28-81). Groups are packed into bounded-size
+    slabs and each slab's k-ladder runs as batched vectorized sweeps."""
     log = get_logger()
     n_groups = len(groups_reads)
     out: dict[int, list[np.ndarray]] = {g: [] for g in range(n_groups)}
     if n_groups == 0:
         return out
-    max_read_len = max(
-        (len(r) for reads in groups_reads for r in reads), default=0
-    )
-    active = np.ones(n_groups, dtype=bool)
 
-    for k in range(mink, min(maxk, max_read_len) + 1, step):
-        k1 = k + 1
-        gi, keys, counts = _count_group_kmers(
-            [reads if active[g] else [] for g, reads in
-             enumerate(groups_reads)], k1
-        )
-        if len(keys) == 0:
-            break
-        # per-group coverage threshold from the reads-only histogram
-        n_vert = np.bincount(gi.astype(np.int64), minlength=n_groups)
-        thresholds = np.zeros(n_groups)
-        for g in range(n_groups):
-            if n_vert[g] == 0:
-                continue
-            cnts = np.sort(counts[gi == g])
-            lr = len(contig_ends[g])
-            q = max(0.0, 1.0 - lr / n_vert[g])
-            thresholds[g] = cnts[min(int(q * len(cnts)), len(cnts) - 1)]
+    slab_bases = 2_000_000
+    slab: list[int] = []
+    acc = 0
+    slabs: list[list[int]] = []
+    for g in range(n_groups):
+        sz = sum(len(r) for r in groups_reads[g]) + len(contig_ends[g])
+        if slab and acc + sz > slab_bases:
+            slabs.append(slab)
+            slab, acc = [], 0
+        slab.append(g)
+        acc += sz
+    if slab:
+        slabs.append(slab)
 
-        # contig end + previous round contigs join the edge set
-        extra_g, extra_k, extra_c = _count_group_kmers(
-            [([contig_ends[g]] + out[g]) if active[g] else []
-             for g in range(n_groups)], k1
-        )
-        gi = np.concatenate([gi, extra_g])
-        keys = np.concatenate([keys, extra_k], axis=0)
-        counts = np.concatenate([counts, extra_c])
-
-        sdbg = grouped_sdbg(gi, keys, counts, k1)
-        g = build_unitig_graph(sdbg)
-        g = _trim_dead_ends(g, 2 * k)
-        g, _ = cleaning.pop_bubbles(g, k + 2, permanent=True)
-        g = _remove_low_coverage_grouped(g, thresholds, 2 * k)
-
-        # harvest contigs per group
-        from ..graph.output import unitig_codes
-
-        codes = unitig_codes(g)
-        vg = _vertex_groups(g)
-        for grp in range(n_groups):
-            if active[grp]:
-                out[grp] = []
-        for v, c in codes.items():
-            grp = int(vg[v])
-            if active[grp]:
-                out[grp].append(c[GROUP_BASES:])
-        for grp in range(n_groups):
-            if active[grp] and len(out[grp]) == 1:
-                active[grp] = False  # converged (LaunchIDBA early break)
+    for members in slabs:
+        _idba_slab([groups_reads[g] for g in members],
+                   [contig_ends[g] for g in members],
+                   members, mink, maxk, step, out)
     log.info(
-        "mini-assembly: %d groups, %d contigs",
-        n_groups, sum(len(v) for v in out.values()),
+        "mini-assembly: %d groups in %d slabs, %d contigs",
+        n_groups, len(slabs), sum(len(v) for v in out.values()),
     )
     return out

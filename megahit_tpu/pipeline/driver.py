@@ -23,7 +23,9 @@ from ..graph import iterate as it
 from ..graph.counter import count_canonical_kmers
 from ..graph.mercy import find_mercy_edges
 from ..graph.sdbg import build_sdbg, sdbg_from_edges
-from ..io.contig_io import ContigRecord, read_contigs, write_contigs
+from ..io.contig_io import (
+    FLAG_LOOP, FLAG_STANDALONE, ContigRecord, read_contigs, write_contigs,
+)
 from ..io.lib import SequenceLib, build_lib
 from ..pipeline.assemble import AssembleOptions, assemble
 from ..pipeline.options import Options
@@ -321,6 +323,16 @@ class Pipeline:
         k_from = self._prev_k(k)
         if k_from is not None:
             cp = self.contig_prefix(k_from)
+            # EarlyTerminate when the previous round produced no NEW
+            # information - no iterate edges, no addi, no local - even
+            # if contigs exist (reference build_graph file_size check,
+            # src/megahit:816-840: contigs/bubbles are not counted)
+            new_info = n_edge_inputs > 0 or any(
+                os.path.exists(cp + name) and os.path.getsize(cp + name)
+                for name in (".addi.fa", ".local.fa")
+            )
+            if not new_info:
+                raise EarlyTerminate(k_from)
             for name, extend in (
                 (".contigs.fa", True), (".bubble_seq.fa", False),
                 (".addi.fa", False), (".local.fa", False),
@@ -411,9 +423,15 @@ class Pipeline:
         cp = self.contig_prefix(cur_k)
         contigs: list[np.ndarray] = []
         muls: list[float] = []
+        # the iterate reader discards loop AND standalone contigs
+        # (reference AsyncContigReader, async_sequence_reader.h:80):
+        # they cannot be extended by junction k-mers
+        skip = FLAG_LOOP | FLAG_STANDALONE
         for name in (".contigs.fa", ".bubble_seq.fa"):
             if os.path.exists(cp + name):
                 for r in read_contigs(cp + name):
+                    if r.flag & skip:
+                        continue
                     contigs.append(r.codes)
                     muls.append(max(1.0, r.multi))
         index = it.build_flank_index(contigs, muls, cur_k, step)

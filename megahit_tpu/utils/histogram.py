@@ -22,7 +22,15 @@ class Histogram:
         return len(self._v)
 
     def mean(self) -> float:
-        return float(self._v.mean()) if self.size else 0.0
+        """Reference mean() = sum() / size() where sum() returns the
+        integral value_type (histgram.h:70-83): the division truncates.
+        Every reference instantiation is integral, so we floor-divide
+        whenever the stored values are whole numbers."""
+        if not self.size:
+            return 0.0
+        if np.all(self._v == np.floor(self._v)):
+            return float(int(self._v.sum()) // self.size)
+        return float(self._v.mean())
 
     def sd(self) -> float:
         return float(self._v.std()) if self.size else 0.0
@@ -59,13 +67,26 @@ class Histogram:
         return float(s[min(i, len(s) - 1)])
 
     def trim(self, fraction: float) -> None:
-        """Drop `fraction` of mass from each tail (reference Trim)."""
+        """Reference Trim (histgram.h:158-189): budget
+        size*fraction/2 + 0.5 per tail, removing whole VALUE BINS from
+        each end only while the bin fits the remaining budget."""
         if not self.size:
             return
-        n = int(len(self._v) * fraction)
-        if n:
-            s = np.sort(self._v)
-            self._v = s[n : len(s) - n]
+        budget = int(len(self._v) * fraction / 2 + 0.5)
+        vals, counts = np.unique(self._v, return_counts=True)
+        lo = 0
+        left = budget
+        while lo < len(vals) and counts[lo] <= left:
+            left -= counts[lo]
+            lo += 1
+        hi = len(vals)
+        left = budget
+        while hi > lo and counts[hi - 1] <= left:
+            left -= counts[hi - 1]
+            hi -= 1
+        keep = (self._v >= vals[lo]) & (self._v <= vals[hi - 1]) \
+            if hi > lo else np.zeros(len(self._v), dtype=bool)
+        self._v = self._v[keep]
 
     def trim_low(self, threshold: float) -> None:
         self._v = self._v[self._v >= threshold]

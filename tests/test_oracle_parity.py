@@ -189,3 +189,91 @@ def test_mock_community_parity(ref_megahit, tmp_path):
         assert ocov >= rcov - 0.02, (
             f"genome {i}: ours {ocov:.2%} vs reference {rcov:.2%}"
         )
+
+
+TEST_DATA = "/root/reference/test_data"
+
+
+def _fixture_args():
+    """The reference's own --test library layout (src/megahit:582-587):
+    interleaved gz + bz2, a pe pair, and se including the loop genome."""
+    return [
+        "--12", f"{TEST_DATA}/r1.il.fa.gz,{TEST_DATA}/r2.il.fa.bz2",
+        "-1", f"{TEST_DATA}/r3_1.fa", "-2", f"{TEST_DATA}/r3_2.fa",
+        "-r", f"{TEST_DATA}/r4.fa,{TEST_DATA}/loop.fa",
+    ]
+
+
+def canon_set(contigs):
+    """canon() for linear contigs; rotation-invariant canon for loop
+    contigs (both assemblers pick an arbitrary traversal anchor)."""
+    from megahit_tpu.io.contig_io import FLAG_LOOP
+
+    return {
+        canon_loop(c) if c.flag & FLAG_LOOP else canon(c.codes)
+        for c in contigs
+    }
+
+
+def test_reference_fixture_matrix(ref_megahit, tmp_path):
+    """Both assemblers on the reference's bundled test_data libs
+    (mixed gz/bz2 interleaved + pe + se + loop genome)."""
+    args = _fixture_args() + ["--k-list", "21,41,61"]
+    ref = _run_ref(ref_megahit, args, str(tmp_path / "ref_out"))
+    ours = _run_ours(args, str(tmp_path / "our_out"))
+    assert canon_set(ref) == canon_set(ours)
+
+
+def canon_loop(c):
+    """Rotation- and strand-invariant form of a loop contig: the string
+    is the L-base cycle plus a k-base wrap; the rotation anchor is an
+    internal traversal detail in both assemblers."""
+    cyc = c.codes[: c.length - c.k]
+    best = None
+    for codes in (cyc, packing.revcomp_codes(cyc)):
+        s = packing.decode(codes)
+        d = s + s
+        m = min(d[i : i + len(s)] for i in range(len(s)))
+        best = m if best is None else min(best, m)
+    return best
+
+
+def test_loop_genome_flag_parity(ref_megahit, tmp_path):
+    """The loop genome alone: FLAG_LOOP routing and the EarlyTerminate
+    behaviour when a k-round yields no new edges/addi/local
+    (reference src/megahit:838-839). The cycle must match up to
+    rotation/strand and carry the loop flag in both assemblers."""
+    args = ["-r", f"{TEST_DATA}/loop.fa", "--k-list", "21,41",
+            "--min-contig-len", "200"]
+    ref = _run_ref(ref_megahit, args, str(tmp_path / "ref_out"))
+    ours = _run_ours(args, str(tmp_path / "our_out"))
+    assert len(ref) == len(ours) == 1
+    assert ref[0].flag == ours[0].flag == 3
+    assert ref[0].length == ours[0].length
+    assert canon_loop(ref[0]) == canon_loop(ours[0])
+
+
+def test_kmin_1pass_prune3_fixture(ref_megahit, tmp_path):
+    """The reference simple_test's second scenario
+    (CMakeLists.txt:104-116): --kmin-1pass --prune-level 3
+    --prune-depth 0 over the bundled libs."""
+    args = _fixture_args() + [
+        "--k-list", "21,41", "--kmin-1pass", "--prune-level", "3",
+        "--prune-depth", "0",
+    ]
+    ref = _run_ref(ref_megahit, args, str(tmp_path / "ref_out"))
+    ours = _run_ours(args, str(tmp_path / "our_out"))
+    assert canon_set(ref) == canon_set(ours)
+
+
+def test_empty_input_completes(tmp_path):
+    """The reference simple_test's empty-input scenario: zero reads
+    must produce an empty assembly, not a crash."""
+    from megahit_tpu.__main__ import main
+
+    out = str(tmp_path / "out")
+    rc = main(["-r", f"{TEST_DATA}/empty.fa", "--k-list", "21,41",
+               "-o", out])
+    assert rc == 0
+    finals = read_contigs(os.path.join(out, "final.contigs.fa"))
+    assert finals == []
