@@ -188,11 +188,14 @@ def main(argv=None) -> int:
         memory=args.memory, num_cpu_threads=args.num_cpu_threads,
         use_mesh=args.use_mesh,
     )
-    if args.presets:
-        opt.apply_preset(args.presets)
     if args.k_list:
         opt.k_list = [int(x) for x in args.k_list.split(",")]
         opt.auto_k = False
+    if args.presets:
+        # the reference applies presets in check_and_correct_option,
+        # AFTER parsing: a preset overrides an explicit --k-list and
+        # re-enables auto_k read-length pruning (src/megahit:491-505)
+        opt.apply_preset(args.presets)
     ml = args.merge_level.split(",")
     opt.merge_len, opt.merge_similar = int(ml[0]), float(ml[1])
 

@@ -166,6 +166,24 @@ def revcomp_kmers(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     return mask_tail(out, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def rotate_kmers_left(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, W) -> rotate the k packed chars left by one:
+    c0 c1 .. c_{k-1} becomes c1 .. c_{k-1} c0 (same layout).
+
+    Sorting edges by this rotated key reproduces the reference's SdBG
+    item order: (last k chars = target node, then first char), see
+    seq_to_sdbg.cpp:660-696 (items keyed by the k-mer at the offset
+    with the previous char in the low bits of the last word).
+    """
+    c0 = keys[..., 0] >> U32(30)
+    out = shift_left_bits(keys, 2)
+    widx = (k - 1) // BASES_PER_WORD
+    sh = U32(30 - 2 * ((k - 1) % BASES_PER_WORD))
+    out = out.at[..., widx].set(out[..., widx] | (c0 << sh))
+    return mask_tail(out, k)
+
+
 def lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(N, W) < (N, W) lexicographic, word-major. Returns (N,) bool."""
     w = a.shape[-1]

@@ -60,6 +60,34 @@ class Sdbg:
     def size(self) -> int:
         return len(self.keys)
 
+    @property
+    def ref_rank(self) -> np.ndarray:
+        """(E,) int32: rank of each edge in the REFERENCE's SdBG item
+        order - (last k chars, first char), i.e. the rotated key (see
+        kmerops.rotate_kmers_left; seq_to_sdbg.cpp:660-696). Real-edge
+        relative order in the reference file equals this rank order
+        (dummy-$ rows only interleave), so all orientation/ordering
+        tie-breaks that the reference resolves by edge id are resolved
+        here by ref_rank. Computed lazily, cached; invalid rows rank
+        after all valid rows."""
+        if getattr(self, "_ref_rank", None) is None:
+            rot = kmerops.rotate_kmers_left(
+                jnp.asarray(self.keys), self.k
+            )
+            inval = jnp.asarray(~self.valid).astype(jnp.uint32)
+            n = self.size
+            ops = (inval,) + tuple(
+                rot[:, i] for i in range(rot.shape[1])
+            ) + (jnp.arange(n, dtype=jnp.int32),)
+            out = jax.lax.sort(
+                ops, num_keys=len(ops) - 1, is_stable=False
+            )
+            perm = np.asarray(out[-1])
+            rank = np.empty(n, dtype=np.int32)
+            rank[perm] = np.arange(n, dtype=np.int32)
+            self._ref_rank = rank
+        return self._ref_rank
+
     def num_valid(self) -> int:
         return int(self.valid.sum())
 

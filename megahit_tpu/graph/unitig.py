@@ -202,25 +202,43 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
     # keep rule matches the reference's sequential scan
     # (unitig_graph.cpp:22-82): a chain is discovered at its TAIL edge
     # (NextSimplePathEdge == null), scanning edge ids ascending, so the
-    # stored orientation is the one whose tail edge id is smaller
-    # (palindrome: equal). Cycles are discovered at their min edge id
-    # over both orientations (unitig_graph.cpp:90-120).
+    # stored orientation is the one whose tail edge RANK (in the
+    # reference's item order, Sdbg.ref_rank) is smaller (palindrome:
+    # equal). Cycles are discovered at their min-rank edge over both
+    # orientations (unitig_graph.cpp:90-120).
+    rr = sdbg.ref_rank
+    # per-cycle min-rank member edge (cycles only; host, rare)
+    amin_of_start = np.full(e, NULL, dtype=np.int64)
+    cyc_edges = np.flatnonzero(validn & in_cycle)
+    if len(cyc_edges):
+        co = cyc_edges[np.lexsort(
+            (rr[cyc_edges], chain_start[cyc_edges])
+        )]
+        first = np.ones(len(co), dtype=bool)
+        first[1:] = chain_start[co[1:]] != chain_start[co[:-1]]
+        amin_of_start[chain_start[co[first]]] = co[first]
+    c_amin = amin_of_start[c_start]  # cycle reps only
+    pair_amin = amin_of_start[pair_start]
     keep = np.where(
-        c_loop, c_start <= pair_start, c_end <= sdbg.rc[c_start]
+        c_loop,
+        rr[np.maximum(c_amin, 0)] <= rr[np.maximum(pair_amin, 0)],
+        rr[c_end] <= rr[sdbg.rc[c_start]],
     )
-    # reference vertex order: all simple paths (ascending tail id),
-    # then all cycles (ascending min edge id)
-    order = np.lexsort(
-        (np.where(c_loop, c_start, c_end), c_loop.astype(np.int8))
-    )
+    # reference vertex order: all simple paths (ascending tail rank),
+    # then all cycles (ascending min member rank)
+    okey = rr[np.where(c_loop, np.maximum(c_amin, 0), c_end)]
+    order = np.lexsort((okey, c_loop.astype(np.int8)))
     order = order[keep[order]]
     c_start, c_end = c_start[order], c_end[order]
     c_loop, c_len, c_depth = c_loop[order], c_len[order], c_depth[order]
     pair_start = pair_start[order]
-    # cycles anchor at next(min_edge): reference stores
-    # (begin=next(min), end=min) so the string starts one past min
-    v_start = np.where(c_loop, nxt[c_start], c_start).astype(np.int32)
-    v_end = np.where(c_loop, c_start, c_end).astype(np.int32)
+    c_amin = c_amin[order]
+    # cycles anchor at next(min_rank_edge): reference stores
+    # (begin=next(min), end=min) so the string starts one past it
+    v_start = np.where(c_loop, nxt[np.maximum(c_amin, 0)],
+                       c_start).astype(np.int32)
+    v_end = np.where(c_loop, np.maximum(c_amin, 0),
+                     c_end).astype(np.int32)
     v_pair_start = pair_start
     v_rc_start = sdbg.rc[v_end]  # traversal anchor for the rc strand
     v_rc_end = sdbg.rc[v_start]
@@ -456,36 +474,48 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
 
     # canonical anchor per super-chain, matching the full rebuild
     # (reference scan convention, see build_unitig_graph): simple
-    # chains anchor at their TAIL edge id (the rc pair's tail is the
-    # rc of the own head edge); NEW cycles anchor at their minimum
-    # member edge id
+    # chains anchor at their TAIL edge (the rc pair's tail is the rc
+    # of the own head edge); NEW cycles anchor at their min-ref_rank
+    # member edge. Comparisons use Sdbg.ref_rank (reference item
+    # order), not raw indices.
+    rr = s.ref_rank
     if m:
-        anchor_of = se_end[chain_end[rep]].astype(np.int64)
-        anchor_pair = s.rc[se_start[rep]].astype(np.int64)
+        anchor_edge = se_end[chain_end[rep]].astype(np.int64)
+        anchor_pair_edge = s.rc[se_start[rep]].astype(np.int64)
     else:
-        anchor_of = anchor_pair = rep.astype(np.int64)
+        anchor_edge = anchor_pair_edge = rep.astype(np.int64)
     if m and in_cycle.any():
-        min_edge_chain = np.full(e_sz, e_sz, dtype=np.int64)
+        # per OLD chain: the member edge with min ref_rank
+        amin_old = np.full(e_sz, -1, dtype=np.int64)
         vv = np.flatnonzero(s.valid)
-        np.minimum.at(min_edge_chain, graph.chain_start[vv], vv)
+        o2 = vv[np.lexsort((rr[vv], graph.chain_start[vv]))]
+        f2 = np.ones(len(o2), dtype=bool)
+        f2[1:] = graph.chain_start[o2[1:]] != graph.chain_start[o2[:-1]]
+        amin_old[graph.chain_start[o2[f2]]] = o2[f2]
         oldchain_key = np.concatenate(
             [graph.start[lv], graph.rc_start[lv[npal]]]
         )
-        min_edge_se = min_edge_chain[oldchain_key]
-        cycmin = np.full(m, e_sz, dtype=np.int64)
-        np.minimum.at(cycmin, chain_of, min_edge_se)
+        ae_se = amin_old[oldchain_key]          # (m,) per super-edge
+        # per NEW chain: min-rank among member super-edges' minima
+        cyc_amin = np.full(m, -1, dtype=np.int64)
+        o3 = np.lexsort((rr[np.maximum(ae_se, 0)], chain_of))
+        f3 = np.ones(m, dtype=bool)
+        f3[1:] = chain_of[o3[1:]] != chain_of[o3[:-1]]
+        cyc_amin[chain_of[o3[f3]]] = ae_se[o3[f3]]
         cyc_rep = in_cycle[rep]
-        anchor_of = np.where(cyc_rep, cycmin[rep], anchor_of)
-        anchor_pair = np.where(cyc_rep, cycmin[pair_first], anchor_pair)
+        anchor_edge = np.where(cyc_rep, cyc_amin[rep], anchor_edge)
+        anchor_pair_edge = np.where(
+            cyc_rep, cyc_amin[pair_first], anchor_pair_edge
+        )
 
-    # canonical orientation + order: smaller anchor edge id wins
-    keep = anchor_of <= anchor_pair
+    # canonical orientation + order: smaller anchor rank wins
+    keep = rr[anchor_edge] <= rr[anchor_pair_edge]
     v_first = c_first[keep]
     v_last = chain_end[rep][keep]
     v_pairf = pair_first[keep]
     v_loop = c_loop[keep]
-    v_anchor = anchor_of[keep]
-    order = np.argsort(v_anchor, kind="stable")
+    v_anchor = anchor_edge[keep]
+    order = np.argsort(rr[v_anchor], kind="stable")
     v_first, v_last = v_first[order], v_last[order]
     v_pairf, v_loop = v_pairf[order], v_loop[order]
     v_anchor = v_anchor[order]
@@ -583,9 +613,9 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     a_start = cat(v_start, graph.start[ll]).astype(np.int32)
     a_end = cat(v_end, graph.end[ll]).astype(np.int32)
     a_loop = cat(v_loop, graph.is_loop[ll])
-    # full-rebuild row order: all chains by tail edge id, then all
-    # loops (new cycles + carried) by their anchor (= end) edge id
-    perm = np.lexsort((a_end, a_loop.astype(np.int8)))
+    # full-rebuild row order: all chains by tail rank, then all
+    # loops (new cycles + carried) by their anchor (= end) rank
+    perm = np.lexsort((rr[a_end], a_loop.astype(np.int8)))
     inv = np.empty(len(perm), dtype=np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
     ok_v = vid_new >= 0

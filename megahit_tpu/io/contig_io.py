@@ -47,10 +47,19 @@ def write_contigs(path: str, contigs: list[ContigRecord]) -> None:
 
 
 def parse_header(hdr: str) -> tuple[int, int, int, float]:
-    """'k59_12 flag=1 multi=2.5 len=300' -> (k, cid, flag, multi)."""
+    """'k59_12 flag=1 multi=2.5 len=300' -> (k, cid, flag, multi).
+
+    Only flag/multi are semantically needed downstream (the reference
+    reader parses just the comment, contig_reader.h:68); names that
+    don't follow the k{K}_{cid} pattern (e.g. the reference's local
+    contigs 'lc_0_strand_0_id_0') parse as k=0, cid=ordinal-ish."""
     fields = hdr.split()
-    kpart, cid = fields[0].split("_")
-    k = int(kpart[1:])
+    parts = fields[0].split("_")
+    try:
+        k = int(parts[0][1:])
+        cid = int(parts[1])
+    except (ValueError, IndexError):
+        k, cid = 0, 0
     flag = 0
     multi = 1.0
     for f in fields[1:]:
@@ -58,7 +67,7 @@ def parse_header(hdr: str) -> tuple[int, int, int, float]:
             flag = int(f[5:])
         elif f.startswith("multi="):
             multi = float(f[6:])
-    return k, int(cid), flag, multi
+    return k, cid, flag, multi
 
 
 def read_contigs(

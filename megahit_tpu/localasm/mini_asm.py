@@ -230,6 +230,14 @@ class _Contigs:
     def contig_size(self, c: int) -> int:
         return int(self.n[c]) + self.tbl.k - 1
 
+    def terminal_adaptor(self, c: int, s: int) -> tuple[int, int]:
+        """(vertex, vertex_strand) at the OUT end of chain c, strand s
+        (the vertex whose out-bitset holds the chain's strand-s
+        out-edges)."""
+        st_, e_ = self.chain_start[c], self.chain_start[c + 1]
+        ad = self.adaptors[e_ - 1] if s == 0 else self.adaptors[st_] ^ 1
+        return int(ad) >> 1, int(ad) & 1
+
     def live_degree(self, c: int, s: int) -> int:
         d = 0
         for b in range(4):
@@ -463,38 +471,45 @@ def _internal_size(cg: _Contigs, path: list[tuple[int, int]]) -> int:
     return size - (len(path) - 1) * (k - 1)
 
 
-def _branch_search(cg: _Contigs, c0: int, s0: int):
+def _branch_search(cg: _Contigs, c0: int, s0: int,
+                   present: np.ndarray | None = None):
     """ContigGraphBranchGroup::Search (contig_graph_branch_group.cpp:
     17-85): level-synchronous expansion of <=4 branches to internal
-    size exactly k+2, converging on one end vertex."""
+    size exactly k+2, converging on one end vertex.
+
+    `present` is the (C, 2, 4) bool overlay of chain-level edge bits
+    (mutated by Merge during the same pass); None means all candidate
+    bits are present. Branch steps are recorded as (chain, strand,
+    entry_bit) so Merge can re-add exactly the traversed edges."""
     k = cg.tbl.k
     max_len = k + 2
     if cg.contig_size(c0) == k:
         return None
-    bits = [b for b in range(4) if cg.nbr_chain[c0, s0, b] >= 0
-            and cg.alive_c[cg.nbr_chain[c0, s0, b]]]
-    if len(bits) <= 1:
-        return None
-    branches = [[(c0, s0)]]
+
+    def has_bit(c, s, b):
+        return present is None or present[c, s, b]
+
+    branches = [[(c0, s0, -1)]]
     converge = False
     end = None
     for _ in range(1, max_len):
         num = len(branches)
         extended = False
         for i in range(num):
-            if _internal_size(cg, branches[i]) >= max_len:
+            if _internal_size(cg, [(c, s) for c, s, _ in branches[i]]) \
+                    >= max_len:
                 continue
-            cc, cs = branches[i][-1]
+            cc, cs, _eb = branches[i][-1]
             first = True
             base = list(branches[i])
             found_any = False
             for b in range(4):
                 nc = cg.nbr_chain[cc, cs, b]
-                if nc < 0:
+                if nc < 0 or not has_bit(cc, cs, b):
                     continue
                 if not cg.alive_c[nc]:
                     return None          # next.status().IsDead()
-                nxt = (int(nc), int(cg.nbr_strand[cc, cs, b]))
+                nxt = (int(nc), int(cg.nbr_strand[cc, cs, b]), b)
                 found_any = True
                 if first:
                     branches[i].append(nxt)
@@ -506,10 +521,12 @@ def _branch_search(cg: _Contigs, c0: int, s0: int):
                 extended = True
             if not found_any:
                 return None              # out_edges().size() == 0
-        end = branches[0][-1]
+        end = branches[0][-1][:2]
         if cg.contig_size(end[0]) > k:
             converge = all(
-                br[-1] == end and _internal_size(cg, br) == max_len
+                br[-1][:2] == end
+                and _internal_size(cg, [(c, s) for c, s, _ in br])
+                == max_len
                 for br in branches)
             if converge:
                 break
@@ -522,30 +539,42 @@ def _branch_search(cg: _Contigs, c0: int, s0: int):
 
 def _remove_bubble(tbl: _VertexTable, cg: _Contigs) -> _Contigs:
     """ContigGraph::RemoveBubble (contig_graph.cpp:125-182): two-phase
-    candidate collection + merge; each confirmed group keeps only its
-    highest-kmer-count branch (contig_graph_branch_group.cpp:87-112)."""
+    candidate collection + merge with IDBA's exact Merge semantics
+    (contig_graph_branch_group.cpp:87-112): the begin vertex's whole
+    out-bitset and the end vertex's whole in-bitset are ZEROED (also
+    dropping edges leaving the bubble), all middles die, then the
+    highest-kmer-count branch's middles revive and its edges re-add."""
+    # chain-level edge-bit presence overlay, mutated by Merge; the
+    # reference's refreshed bitsets match cg.nbr_chain candidacy
+    present = cg.nbr_chain >= 0
+
+    def deg(c, s):
+        # reference uses out_edges().size(): bit count, regardless of
+        # whether the target chain has since died
+        return int(present[c, s].sum())
 
     def confirmed(c, s):
-        br = _branch_search(cg, c, s)
+        br = _branch_search(cg, c, s, present)
         if br is None:
             return None
         # reverse search from rc(end) must converge back at rc(begin)
-        ec, es = br[0][-1]
-        rbr = _branch_search(cg, ec, 1 - es)
-        if rbr is None or rbr[0][-1] != (c, 1 - s):
+        ec, es = br[0][-1][:2]
+        rbr = _branch_search(cg, ec, 1 - es, present)
+        if rbr is None or rbr[0][-1][:2] != (c, 1 - s):
             return None
         return br
 
     candidates = []
     for c in range(cg.size):
         for s in (0, 1):
-            if cg.live_degree(c, s) > 1 and cg.contig_size(c) > tbl.k \
+            if deg(c, s) > 1 and cg.contig_size(c) > tbl.k \
                     and confirmed(c, s) is not None:
                 candidates.append((c, s))
 
+    touched: set[tuple[int, int]] = set()
     merged = 0
     for c, s in candidates:
-        if not cg.alive_c[c] or cg.live_degree(c, s) <= 1:
+        if not cg.alive_c[c] or deg(c, s) <= 1:
             continue
         br = confirmed(c, s)
         if br is None:
@@ -553,21 +582,53 @@ def _remove_bubble(tbl: _VertexTable, cg: _Contigs) -> _Contigs:
         best = 0
         best_kc = -1
         for i, path in enumerate(br):
-            kc = sum(int(cg.kcount[cc]) for cc, _ in path)
+            kc = sum(int(cg.kcount[cc]) for cc, _, _ in path)
             if kc > best_kc:
                 best, best_kc = i, kc
-        dead = set()
+        kill = np.zeros(cg.size, dtype=bool)
         for path in br:
-            for cc, _ in path[1:-1]:
-                dead.add(cc)
-        for cc, _ in br[best][1:-1]:
-            dead.discard(cc)
-        if dead:
-            kill = np.zeros(cg.size, dtype=bool)
-            kill[list(dead)] = True
+            c0p, s0p = path[0][:2]
+            cep, sep = path[-1][:2]
+            present[c0p, s0p, :] = False       # begin.out_edges = 0
+            present[cep, 1 - sep, :] = False   # end.in_edges = 0
+            touched.update(((c0p, s0p), (cep, 1 - sep)))
+            for cc, ss, _ in path[1:-1]:
+                present[cc, ss, :] = False
+                present[cc, 1 - ss, :] = False
+                touched.update(((cc, ss), (cc, 1 - ss)))
+                kill[cc] = True
+        bp = br[best]
+        for cc, ss, _ in bp[1:-1]:
+            kill[cc] = False                   # ResetDeadFlag
+        for (ac, as_, _), (bc, bs, bbit) in zip(bp[:-1], bp[1:]):
+            present[ac, as_, bbit] = True      # AddEdge forward bit
+            touched.add((ac, as_))
+            for b2 in range(4):                # ... and its rc bit
+                if cg.nbr_chain[bc, 1 - bs, b2] == ac \
+                        and cg.nbr_strand[bc, 1 - bs, b2] == 1 - as_:
+                    present[bc, 1 - bs, b2] = True
+                    touched.add((bc, 1 - bs))
+                    break
+        if kill.any():
             cg.kill(kill)
-            merged += 1
+        merged += 1
+
     if merged:
+        # materialize the mutated chain bits onto the terminal vertex
+        # bitsets so the re-contraction (reference Refresh +
+        # MergeSimplePaths) sees them
+        for (c, s) in touched:
+            if not cg.alive_c[c]:
+                continue
+            vt, st = cg.terminal_adaptor(c, s)
+            bits = 0
+            for b in range(4):
+                if present[c, s, b]:
+                    bits |= 1 << b
+            if st == 0:
+                tbl.out0[vt] = np.uint8(bits)
+            else:
+                tbl.out1[vt] = np.uint8(bits)
         cg = _contract(tbl)
     return cg
 

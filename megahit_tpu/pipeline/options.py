@@ -57,15 +57,17 @@ class Options:
 
     def apply_preset(self, preset: str) -> None:
         """Reference presets (src/megahit:491-505)."""
+        # presets re-enable auto_k so the long ladder is pruned to the
+        # library read length (src/megahit:492 "opt.auto_k = True")
         if preset == "meta-sensitive":
             self.min_count = 1
             self.k_list = [21, 29, 39, 49, 59, 69, 79, 89, 99, 109, 119,
                            129, 141]
-            self.auto_k = False
+            self.auto_k = True
         elif preset == "meta-large":
             self.min_count = 1
             self.k_list = [27, 37, 47, 57, 67, 77, 87, 97, 107, 117, 127]
-            self.auto_k = False
+            self.auto_k = True
         else:
             raise ValueError(f"invalid preset: {preset}")
 
@@ -74,7 +76,7 @@ class Options:
         if self.k_min != -1 or self.k_max != -1 or self.k_step != -1:
             k_min = self.k_min if self.k_min != -1 else 21
             k_max = self.k_max if self.k_max != -1 else 141
-            k_step = self.k_step if self.k_step != -1 else 12
+            k_step = self.k_step if self.k_step != -1 else 10
             self.k_list = list(range(k_min, k_max + 1, k_step))
             if self.k_list[-1] != k_max:
                 self.k_list.append(k_max)

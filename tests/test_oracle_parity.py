@@ -93,11 +93,9 @@ def test_single_genome_bit_identical(ref_megahit, tmp_path):
 
 
 def test_two_genomes_with_repeat_parity(ref_megahit, tmp_path):
-    """Harder case: shared 30bp repeat. Compare contig SETS; exact
-    bit-parity is not guaranteed here (documented deviations: node-
-    level adjacency, iterate superset), so assert both assemblers
-    recover the same genome content (every contig of one is contained
-    in a contig of the other)."""
+    """Harder case: shared 30bp repeat. Exact set parity (the round-1
+    divergence here was traced to contig-orientation and localasm
+    deviations, both fixed; see RESULTS.md equivalence study)."""
     import gzip
 
     rng = np.random.default_rng(1234)
@@ -132,14 +130,7 @@ def test_two_genomes_with_repeat_parity(ref_megahit, tmp_path):
          "300"],
         str(tmp_path / "our_out"),
     )
-    ref_set = {canon(c.codes) for c in ref}
-    our_set = {canon(c.codes) for c in ours}
-    for s in our_set:
-        assert any(s in r or r in s for r in ref_set), \
-            f"our contig (len {len(s)}) not contained in any reference contig"
-    total_ref = sum(len(s) for s in ref_set)
-    total_our = sum(len(s) for s in our_set)
-    assert abs(total_ref - total_our) < 0.02 * max(total_ref, total_our)
+    assert {canon(c.codes) for c in ref} == {canon(c.codes) for c in ours}
 
 
 def test_mock_community_parity(ref_megahit, tmp_path):
