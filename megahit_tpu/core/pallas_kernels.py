@@ -162,3 +162,185 @@ def canonical_all_kmers_reference(packed: jnp.ndarray, k: int,
     keys = keys.transpose(0, 2, 1, 3).reshape(q_pad * 16, w)
     canon, _ = kmerops.canonical_kmers(keys, k)
     return canon.T
+
+
+def narrow_tail_plane(cols, k: int):
+    """Shrink the last key word to uint16 when the key's trailing word
+    uses <= 16 bits (left-aligned 2-bit layout: used bits sit in the
+    TOP of the word). Sorting (u32.., u16) moves 25% fewer bytes than
+    (u32.., u32) through lax.sort - the dominant cost of the count hot
+    path - with identical lexicographic order, since the dropped low
+    16 bits are structurally zero. Returns cols unchanged when the
+    trailing word is wider."""
+    w = kmerops.words_per_kmer(k)
+    used = k - (w - 1) * 16  # chars in the last word
+    if used > 8 or len(cols) != w:
+        return tuple(cols)
+    return tuple(cols[:-1]) + (
+        (cols[-1] >> jnp.uint32(16)).astype(jnp.uint16),
+    )
+
+
+def widen_tail_plane(cols):
+    """Inverse of narrow_tail_plane on sorted output columns."""
+    if cols[-1].dtype != jnp.uint16:
+        return tuple(cols)
+    return tuple(cols[:-1]) + (
+        cols[-1].astype(jnp.uint32) << jnp.uint32(16),
+    )
+
+
+_I32 = jnp.int32
+_CNT_BR = 256  # block rows; one block = _CNT_BR * 128 elements
+
+
+def _count_kernel(*refs, ncols: int, n: int, nb: int):
+    """One reverse-order grid step of the fused run-count.
+
+    Blocks are visited LAST-first (index maps reverse the grid), so the
+    SMEM carry holds the inclusive suffix-min of head positions over
+    all later blocks when this block runs - the cross-block half of the
+    next-head computation that the jnp path pays several full HBM
+    passes for (cummin_reverse + shifts + wheres)."""
+    cols = refs[:ncols]
+    bh_ref = refs[ncols]        # (nb,) SMEM i32: block-boundary heads
+    ninv_ref = refs[ncols + 1]  # (1,) SMEM i32: number of invalid rows
+    head_ref = refs[ncols + 2]  # out (BR, 128) i8
+    cnt_ref = refs[ncols + 3]   # out (BR, 128) i32
+    carry = refs[ncols + 4]     # SMEM (1,) i32 scratch
+
+    br = _CNT_BR
+    j = pl.program_id(0)
+    b = nb - 1 - j
+
+    @pl.when(j == 0)
+    def _():
+        carry[0] = n
+
+    r0 = jax.lax.broadcasted_iota(_I32, (br, 128), 0)
+    c0 = jax.lax.broadcasted_iota(_I32, (br, 128), 1)
+
+    # head = any word differs from the row-major predecessor; all
+    # shifts are full-shape rolls + masked selects (mosaic rejects
+    # narrow-column concats/slices)
+    head = None
+    for cref in cols:
+        xc = cref[:]
+        if xc.dtype != jnp.uint32:
+            # 16-bit vector compares are unsupported on this target;
+            # upcast after the (u16) load - HBM traffic is unchanged
+            xc = xc.astype(jnp.uint32)
+        same_row = jnp.roll(xc, 1, axis=1)     # [r, c-1] at c>0
+        prev_row = jnp.roll(same_row, 1, axis=0)  # [r-1, 127] at c==0
+        prev = jnp.where(c0 == 0, prev_row, same_row)
+        h = xc != prev
+        head = h if head is None else (head | h)
+    first = (r0 == 0) & (c0 == 0)
+    # merge the block-boundary head flag in i32 (mosaic rejects
+    # scalar-bool -> vector-i1 selects)
+    head = jnp.where(first, bh_ref[b], head.astype(_I32)) != 0
+
+    lin = b * (br * 128) + r0 * 128 + c0
+    hp = jnp.where(head, lin, n)
+    # within-row inclusive suffix-min (row-major: later columns)
+    s = hp
+    t = 1
+    while t < 128:
+        shifted = jnp.where(
+            c0 >= 128 - t, n, jnp.roll(s, -t, axis=1)
+        )
+        s = jnp.minimum(s, shifted)
+        t *= 2
+    # per-row min broadcast across lanes, then an inclusive suffix-min
+    # over rows, again with full-shape rolls
+    rinc = jnp.broadcast_to(
+        jnp.min(s, axis=1, keepdims=True), (br, 128)
+    )
+    t = 1
+    while t < br:
+        shifted = jnp.where(
+            r0 >= br - t, n, jnp.roll(rinc, -t, axis=0)
+        )
+        rinc = jnp.minimum(rinc, shifted)
+        t *= 2
+    rows_after = jnp.where(
+        r0 == br - 1, n, jnp.roll(rinc, -1, axis=0)
+    )
+    s = jnp.minimum(s, rows_after)  # block-inclusive suffix-min
+    cin = carry[0]
+    s = jnp.minimum(s, cin)         # global inclusive suffix-min
+    carry[0] = jnp.min(s)           # == s[0, 0] (inclusive suffix)
+    # nh = row-major shift-left-by-one of s, tail fed by the carry
+    left = jnp.roll(s, -1, axis=1)            # [r, c+1]; at c==127: s[r, 0]
+    down = jnp.roll(left, -1, axis=0)         # at c==127: s[r+1, 0]
+    nh = jnp.where(c0 == 127, down, left)
+    nh = jnp.where((r0 == br - 1) & (c0 == 127), cin, nh)
+    cnt = nh - lin
+    cnt = jnp.where(nh == n, cnt - ninv_ref[0], cnt)
+    cnt = jnp.where(head, cnt, 0)
+    head_ref[:] = (head & (cnt > 0)).astype(jnp.int8)
+    cnt_ref[:] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def count_sorted_runs_pallas(cols, n_inv, interpret: bool = False):
+    """Fused run-length count over sorted SoA columns (TPU).
+
+    Same contract as kmerops.count_sorted_runs_soa (invalid rows carry
+    sentinel keys sorted to the tail; n_inv = their number), but one
+    Pallas pass instead of ~8 elementwise/scan HBM round trips: reads
+    each key plane once, writes head + counts once. Requires len(cols
+    [0]) divisible by the 32K block; callers fall back to the jnp path
+    otherwise (count_sorted_runs_device does this dispatch)."""
+    n = int(cols[0].shape[0])
+    block = _CNT_BR * 128
+    assert n % block == 0 and n > 0
+    nb = n // block
+    ncols = len(cols)
+
+    # block-boundary head flags WITHOUT gathers (even a 512-element
+    # gather from a 16.7M array costs ~13ms on TPU): boundary elements
+    # are strided column slices of the (nb, block) view
+    bh = jnp.zeros(nb, dtype=bool)
+    for c in cols:
+        c2 = c.reshape(nb, block)
+        bh = bh.at[1:].set(bh[1:] | (c2[1:, 0] != c2[:-1, -1]))
+    bh = bh.at[0].set(True).astype(_I32)
+    ninv = jnp.asarray(n_inv, _I32).reshape(1)
+
+    rev = lambda j: (nb - 1 - j, 0)  # noqa: E731
+    head8, counts = pl.pallas_call(
+        functools.partial(_count_kernel, ncols=ncols, n=n, nb=nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((n // 128, 128), jnp.int8),
+            jax.ShapeDtypeStruct((n // 128, 128), _I32),
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_CNT_BR, 128), rev, memory_space=pltpu.VMEM)
+            for _ in range(ncols)
+        ] + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_CNT_BR, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CNT_BR, 128), rev, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1,), _I32)],
+        interpret=interpret,
+    )(*[c.reshape(n // 128, 128) for c in cols], bh, ninv)
+    return head8.reshape(n) != 0, counts.reshape(n)
+
+
+def count_sorted_runs_device(cols, valid, interpret: bool = False):
+    """Dispatch: fused Pallas count on TPU-friendly shapes, jnp SoA
+    fallback elsewhere (CPU backend, or n not a block multiple)."""
+    n = cols[0].shape[0]
+    on_tpu = jax.default_backend() not in ("cpu",) or interpret
+    if on_tpu and n % (_CNT_BR * 128) == 0:
+        n_inv = jnp.sum(~valid, dtype=_I32)
+        return count_sorted_runs_pallas(
+            tuple(cols), n_inv, interpret=interpret
+        )
+    return kmerops.count_sorted_runs_soa(cols, valid)

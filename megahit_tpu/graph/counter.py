@@ -109,17 +109,23 @@ def _count_device_fused(packed, pm, k1, cap):
     host receives ~E rows instead of all N sorted keys (E << N for
     high-coverage data). Returns (keys (cap, W) sentinel-padded, counts
     (cap,), n_distinct); caller falls back when n_distinct > cap."""
-    from ..core.pallas_kernels import canonical_all_kmers_pallas
+    from ..core.pallas_kernels import (
+        canonical_all_kmers_pallas, count_sorted_runs_device,
+        narrow_tail_plane, widen_tail_plane)
 
     cols = canonical_all_kmers_pallas(packed, k1)
     w = cols.shape[0]
     sent = jnp.uint32(0xFFFFFFFF)
-    ops = tuple(jnp.where(pm, cols[i], sent) for i in range(w))
+    masked = tuple(jnp.where(pm, cols[i], sent) for i in range(w))
+    # tail key word rides as u16 when it uses <= 16 bits: the sort
+    # (dominant cost) moves 25% fewer bytes; widened back after
+    ops = narrow_tail_plane(masked, k1)
     out = jax.lax.sort(ops + (pm,), num_keys=w, is_stable=False)
     svalid = out[w]
-    # SoA run-count + per-column compaction: never materializes the
-    # (N, W) stacked keys (a full extra HBM round trip)
-    head, counts = kmerops.count_sorted_runs_soa(out[:w], svalid)
+    # fused single-pass run-count (Pallas on TPU; jnp SoA fallback) +
+    # per-column compaction: never materializes the (N, W) stack
+    head, counts = count_sorted_runs_device(out[:w], svalid)
+    out = widen_tail_plane(out[:w]) + (svalid,)
     pos = jnp.cumsum(head.astype(jnp.int32)) - 1
     tgt = jnp.where(head & (pos < cap), pos, cap)
     out_keys = jnp.stack(
