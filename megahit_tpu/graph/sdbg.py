@@ -31,7 +31,6 @@ over (k+1)-contexts rather than per-context.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -44,17 +43,84 @@ from .counter import KMAX_MUL, _pow2_pad, pack_flat
 NULL = np.int32(-1)
 
 
-@dataclass
 class Sdbg:
-    k: int
-    keys: np.ndarray  # (E, W) uint32, lexicographically sorted
-    mult: np.ndarray  # (E,) int32
-    rc: np.ndarray  # (E,) int32 index of reverse-complement edge
-    oc_t: np.ndarray  # (E, 4) int32
-    ic_t: np.ndarray  # (E, 4) int32
-    oc_s: np.ndarray  # (E, 4) int32
-    ic_s: np.ndarray  # (E, 4) int32
-    valid: np.ndarray  # (E,) bool, mutable
+    """See module docstring for the representation.
+
+    Core state is (k, keys, mult, valid) - ~10 B/edge in memory. The
+    rc pairing and the four (E, 4) candidate tables (another ~68
+    B/edge) are DERIVED from the sorted keys and materialize lazily on
+    first navigation; `save` persists only the core, and only its
+    canonical strand half (key <= rc(key)), ~5 B/edge at rest vs the
+    reference's ~2 B/edge BWT shards (sdbg_item.h:14-24) - vs ~80
+    B/edge for round-1's eagerly-stored tables.
+    """
+
+    def __init__(self, k, keys, mult, rc=None, oc_t=None, ic_t=None,
+                 oc_s=None, ic_s=None, valid=None, real=None):
+        self.k = int(k)
+        self.keys = keys
+        self.mult = mult
+        self.valid = valid if valid is not None \
+            else np.ones(len(keys), dtype=bool)
+        # number of non-padding rows (padding rows carry sentinel keys
+        # and are excluded from table derivation)
+        self.real = len(keys) if real is None else int(real)
+        self._rc, self._oc_t, self._ic_t = rc, oc_t, ic_t
+        self._oc_s, self._ic_s = oc_s, ic_s
+        self._ref_rank = None
+
+    def _ensure_tables(self) -> None:
+        if self._rc is not None and self._oc_t is not None:
+            return
+        e, cap = self.real, self.size
+        w = self.keys.shape[1] if self.keys.ndim == 2 else 1
+        if e == 0:
+            self._rc = np.arange(cap, dtype=np.int32)
+            z4 = np.full((cap, 4), NULL, np.int32)
+            self._oc_t, self._ic_t = z4, z4.copy()
+            self._oc_s, self._ic_s = z4.copy(), z4.copy()
+            return
+        rc, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
+            jnp.asarray(self.keys[:e]), self.k
+        )
+        padn = cap - e
+
+        def pad4(a):
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.full((padn, 4), NULL, np.int32)]
+            ) if padn else a
+
+        self._rc = np.concatenate(
+            [np.asarray(rc), np.arange(e, cap, dtype=np.int32)]
+        ) if padn else np.asarray(rc)
+        self._oc_t, self._ic_t = pad4(oc_t), pad4(ic_t)
+        self._oc_s, self._ic_s = pad4(oc_s), pad4(ic_s)
+
+    @property
+    def rc(self) -> np.ndarray:
+        self._ensure_tables()
+        return self._rc
+
+    @property
+    def oc_t(self) -> np.ndarray:
+        self._ensure_tables()
+        return self._oc_t
+
+    @property
+    def ic_t(self) -> np.ndarray:
+        self._ensure_tables()
+        return self._ic_t
+
+    @property
+    def oc_s(self) -> np.ndarray:
+        self._ensure_tables()
+        return self._oc_s
+
+    @property
+    def ic_s(self) -> np.ndarray:
+        self._ensure_tables()
+        return self._ic_s
 
     @property
     def size(self) -> int:
@@ -99,21 +165,82 @@ class Sdbg:
     def save(self, path: str) -> None:
         """Persist the graph (the analogue of the reference's
         .sdbg.{tid} + .sdbg_info shards, sdbg_writer.cpp:25-80 -
-        redesigned as one npz since there is no per-thread sharding)."""
+        redesigned as one npz since there is no per-thread sharding).
+
+        At-rest format is the COMPACT core: only canonical-strand rows
+        (key <= rc(key); the set is closed under revcomp and mult/
+        valid are strand-symmetric), multiplicity as uint16 (KMAX_MUL
+        clamps to 65535, matching the reference's kMaxMul), validity
+        bit-packed. ~5 B/edge at W=2; rc + candidate tables rebuild on
+        first navigation after load."""
+        e = self.real
+        keys = self.keys[:e]
+        if e:
+            rck = np.asarray(
+                kmerops.revcomp_kmers(jnp.asarray(keys), self.k)
+            )
+            canon = ~np.asarray(
+                kmerops.lex_less(jnp.asarray(rck), jnp.asarray(keys))
+            )  # key <= rc(key)
+        else:
+            canon = np.zeros(0, dtype=bool)
         np.savez(
-            path, k=np.int64(self.k), keys=self.keys, mult=self.mult,
-            rc=self.rc, oc_t=self.oc_t, ic_t=self.ic_t, oc_s=self.oc_s,
-            ic_s=self.ic_s, valid=self.valid,
+            path, k=np.int64(self.k), format=np.int64(2),
+            keys=keys[canon],
+            mult=np.asarray(self.mult[:e][canon], dtype=np.uint16),
+            valid=np.packbits(self.valid[:e][canon]),
+            n_canon=np.int64(int(canon.sum())),
         )
 
     @classmethod
     def load(cls, path: str) -> "Sdbg":
         z = np.load(path)
-        return cls(
-            k=int(z["k"]), keys=z["keys"], mult=z["mult"], rc=z["rc"],
-            oc_t=z["oc_t"], ic_t=z["ic_t"], oc_s=z["oc_s"],
-            ic_s=z["ic_s"], valid=z["valid"],
+        if "format" not in z:  # round-1 eager format
+            return cls(
+                k=int(z["k"]), keys=z["keys"], mult=z["mult"],
+                rc=z["rc"], oc_t=z["oc_t"], ic_t=z["ic_t"],
+                oc_s=z["oc_s"], ic_s=z["ic_s"], valid=z["valid"],
+            )
+        k = int(z["k"])
+        ckeys = z["keys"]
+        n = int(z["n_canon"])
+        cmult = z["mult"].astype(np.int32)
+        cvalid = np.unpackbits(z["valid"], count=n).astype(bool)
+        if n == 0:
+            return _make_sdbg(
+                np.zeros((0, kmerops.words_per_kmer(k)), np.uint32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+                *(np.zeros((0, 4), np.int32) for _ in range(4)), k,
+            )
+        # restore the full strand-closed set: add rc rows, re-sort,
+        # drop the palindrome duplicates
+        rck = np.asarray(kmerops.revcomp_kmers(jnp.asarray(ckeys), k))
+        keys = np.concatenate([ckeys, rck], axis=0)
+        mult = np.concatenate([cmult, cmult])
+        valid = np.concatenate([cvalid, cvalid])
+        skeys, smult, svalid = (
+            np.asarray(a) for a in kmerops.sort_keys_with_payload(
+                jnp.asarray(keys), jnp.asarray(mult),
+                jnp.asarray(valid.astype(np.int32)),
+            )
         )
+        head = np.ones(len(skeys), dtype=bool)
+        head[1:] = (skeys[1:] != skeys[:-1]).any(axis=1)
+        skeys, smult = skeys[head], smult[head]
+        svalid = svalid[head].astype(bool)
+        # capacity-pad and construct LAZILY - rc + candidate tables
+        # rebuild on first navigation, so load stays O(core)
+        e = len(skeys)
+        w = skeys.shape[1]
+        cap = _pow2_pad(max(e, 16))
+        padn = cap - e
+        if padn:
+            skeys = np.concatenate(
+                [skeys, np.full((padn, w), 0xFFFFFFFF, np.uint32)]
+            )
+            smult = np.concatenate([smult, np.zeros(padn, np.int32)])
+            svalid = np.concatenate([svalid, np.zeros(padn, bool)])
+        return cls(k=k, keys=skeys, mult=smult, valid=svalid, real=e)
 
     def invalidate(self, mask: np.ndarray) -> None:
         """Invalidate edges in `mask` AND their reverse complements,
@@ -438,6 +565,7 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
         valid=np.concatenate(
             [np.ones(e, bool), np.zeros(padn, bool)]
         ),
+        real=e,
     )
 
 

@@ -125,3 +125,46 @@ def test_bubble_popping_end_to_end():
     # deeper branch (genome) wins, bubble popped -> single contig
     assert canon_str(genome) in strings
     assert len(strings) == 1
+
+
+def test_sdbg_compact_save_load_roundtrip(tmp_path):
+    """Compact at-rest format (canonical half + u16 mult + bitpacked
+    valid, VERDICT round-1 item 6): round-trips keys/mult/valid and
+    re-derives identical rc + candidate tables; file stays under
+    16 B/edge."""
+    import os
+
+    import numpy as np
+
+    from megahit_tpu.graph import sdbg as S
+
+    rng = np.random.default_rng(11)
+    k = 22  # even edge length -> palindromic edges possible
+    codes = rng.integers(0, 4, 40_000).astype(np.uint8)
+    # splice in an exact palindrome window
+    pal = np.concatenate([codes[:11], 3 - codes[:11][::-1]])
+    codes[1000:1000 + k] = pal
+    starts = np.array([0, len(codes)], dtype=np.int64)
+    g = S.build_sdbg(codes, starts, np.ones(1, np.int32), k)
+    # flip some interior validity (mid-cleaning state)
+    inval = np.zeros(g.size, bool)
+    inval[rng.choice(g.real, 50, replace=False)] = True
+    g.invalidate(inval)
+
+    path = str(tmp_path / "g.sdbg.npz")
+    g.save(path)
+    per_edge = os.path.getsize(path) / g.num_valid()
+    assert per_edge <= 16, per_edge
+
+    h = S.Sdbg.load(path)
+    assert h.k == g.k
+    assert h.real == g.real
+    np.testing.assert_array_equal(h.keys[:h.real], g.keys[:g.real])
+    np.testing.assert_array_equal(h.mult[:h.real], g.mult[:g.real])
+    np.testing.assert_array_equal(h.valid[:h.real], g.valid[:g.real])
+    # lazily re-derived navigation matches the eagerly-built original
+    np.testing.assert_array_equal(h.rc[:h.real], g.rc[:g.real])
+    for name in ("oc_t", "ic_t", "oc_s", "ic_s"):
+        np.testing.assert_array_equal(
+            getattr(h, name)[:h.real], getattr(g, name)[:g.real]
+        )
