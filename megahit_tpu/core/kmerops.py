@@ -167,20 +167,26 @@ def revcomp_kmers(keys: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def rotate_kmers_left(keys: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(N, W) -> rotate the k packed chars left by one:
-    c0 c1 .. c_{k-1} becomes c1 .. c_{k-1} c0 (same layout).
+def ref_order_keys(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, W) edge keys -> keys whose LEXICOGRAPHIC order equals the
+    reference's SdBG edge-id order.
 
-    Sorting edges by this rotated key reproduces the reference's SdBG
-    item order: (last k chars = target node, then first char), see
-    seq_to_sdbg.cpp:660-696 (items keyed by the k-mer at the offset
-    with the previous char in the low bits of the last word).
+    The reference stores BOSS rows sorted colexicographically by the
+    SOURCE node (the first k-1 chars REVERSED), tie-broken by the
+    outgoing char W (= the edge's last char): verified empirically
+    against a GetLabel dump of a reference .sdbg file (sdbg.h:214-231
+    Backward reconstruction; seq_to_sdbg.cpp:630-700 item emission).
+    Output layout: reverse(chars[0..k-2]) ++ chars[k-1], left-aligned.
     """
-    c0 = keys[..., 0] >> U32(30)
-    out = shift_left_bits(keys, 2)
+    node = mask_tail(keys, k - 1)
+    # pure base reversal = complement of the reverse complement
+    rev_node = mask_tail(~revcomp_kmers(node, k - 1), k - 1)
+    last = get_base(keys, k - 1).astype(jnp.uint32)
     widx = (k - 1) // BASES_PER_WORD
     sh = U32(30 - 2 * ((k - 1) % BASES_PER_WORD))
-    out = out.at[..., widx].set(out[..., widx] | (c0 << sh))
+    out = rev_node.at[..., widx].set(
+        rev_node[..., widx] | (last << sh)
+    )
     return mask_tail(out, k)
 
 

@@ -280,13 +280,17 @@ def _find_bubble_instances(g, t, max_len):
         rs0 = np.take_along_axis(rs, first_slot[:, None], 1)[:, 0]
         ok &= ~(pres & ((rv != rv0[:, None]) | (rs != rs0[:, None]))
                 ).any(axis=1)
-        # right >= left and right's reverse degree == bubble degree
-        idxv = np.arange(g.size)
+        # right's canonical EDGE id >= left's (the reference's
+        # double-processing guard compares canonical_id = min begin
+        # edge id, bubble_remover.cpp:85-87, NOT vertex indices) and
+        # right's reverse degree == bubble degree
+        rr = g.sdbg.ref_rank
+        cid = np.minimum(rr[g.start], rr[g.rc_start]).astype(np.int64)
         safe_r = np.maximum(rv0, 0)
         r_deg = np.take_along_axis(
             t.outdeg[safe_r], (1 - rs0)[:, None], 1
         )[:, 0]
-        ok &= (rv0 >= idxv) & (rv0 >= 0) & (r_deg == degree)
+        ok &= (rv0 >= 0) & (cid[safe_r] >= cid) & (r_deg == degree)
 
         lefts = np.flatnonzero(ok)
         out.append((lefts, np.full(len(lefts), strand), rv0[lefts],
@@ -344,10 +348,14 @@ def pop_bubbles(
         g = refresh(g, set_changed=not permanent)
         return g, 0
 
-    # sort middles of every instance by (avg depth desc, id asc)
+    # sort middles of every instance by (avg depth desc, canonical
+    # EDGE id asc) - the reference tie-break is canonical_id = min
+    # begin edge id (bubble_remover.cpp:96-101), not the vertex index
+    rr = g.sdbg.ref_rank
+    cid = np.minimum(rr[g.start], rr[g.rc_start]).astype(np.int64)
     safe = np.maximum(mids, 0)
     avgm = np.where(press, avg[safe], -np.inf)
-    midv = np.where(press, mids, np.iinfo(np.int64).max)
+    midv = np.where(press, cid[safe], np.iinfo(np.int64).max)
     order = np.lexsort((midv, -avgm), axis=1)
     mids = np.take_along_axis(mids, order, 1)
     mstrs = np.take_along_axis(mstrs, order, 1)
@@ -393,7 +401,16 @@ def pop_bubbles(
                     sim_ok_inst[i] = False
 
     # sequential marking in scan order (exact double-delete / record
-    # semantics of the reference loop)
+    # semantics of the reference loop). Records are emitted in the
+    # CANONICAL strand (VertexToDNAString -> ToUniqueFormat, smaller
+    # begin edge id), and are written even when the branch was already
+    # deleted by an earlier bubble (SetToDelete failure still records,
+    # bubble_remover.cpp:111-123).
+    flip = rr[g.rc_start] < rr[g.start]
+
+    def cstring(v: int) -> str:
+        return vstring(v, 1 if flip[v] else 0)
+
     for i in range(len(lefts)):
         if not sim_ok_inst[i]:
             continue
@@ -403,25 +420,20 @@ def pop_bubbles(
             if not press[i, j]:
                 continue
             v = int(mids[i, j])
-            if g.to_delete[v]:
-                continue
-            g.to_delete[v] = True
-            num_removed += 1
+            if not g.to_delete[v]:
+                g.to_delete[v] = True
+                num_removed += 1
             if (careful_threshold is not None
                     and bubble_records is not None
                     and avg[v] >= avg[keep_v] * careful_threshold):
-                bubble_records.append(
-                    (vstring(v, int(mstrs[i, j])), float(avg[v]))
-                )
+                bubble_records.append((cstring(v), float(avg[v])))
                 careful_any = True
         if careful_any:
             bubble_records.append(
-                (vstring(int(lefts[i]), int(lstrands[i])),
-                 float(avg[lefts[i]]))
+                (cstring(int(lefts[i])), float(avg[lefts[i]]))
             )
             bubble_records.append(
-                (vstring(int(rights[i]), int(rstrands[i])),
-                 float(avg[rights[i]]))
+                (cstring(int(rights[i])), float(avg[rights[i]]))
             )
     g = refresh(g, set_changed=not permanent)
     return g, num_removed

@@ -21,13 +21,12 @@ Documented deviations from the reference:
 - The reference queries the index only at positions not already marked
   by a previous extension (a greedy skip); we query every position, a
   strict superset of marks (only adds evidence-backed edges).
-- The reference zero-initializes FlankInfo.mul (the contig multi is
-  received by FeedBatchContigs but never stored - all iterate edges
-  get multiplicity 0); we store the contig multiplicity, following the
-  struct's evident intent.
-- Multiplicity at a position = mean of all flank/extension
-  contributions instead of the reference's order-dependent pairwise
-  averaging.
+
+Junction-edge multiplicity is 0, matching the reference exactly: its
+FeedBatchContigs receives the contig mul but never stores it
+(contig_flank_index.h:64 constructs FlankInfo{ext_seq, ext_len},
+zero-initializing .mul), so the windowed average always rounds to 0
+(verified against a reference 41.edges.0 dump).
 """
 
 from __future__ import annotations
@@ -190,21 +189,25 @@ def find_next_kmers(
     hit_f[~valid1] = NULL
     hit_r[~valid1] = NULL
 
-    # accumulate marks and multiplicity contributions; hit positions
-    # are sparse, so all extension work stays on index arrays
+    # accumulate marks; hit positions are sparse, so all extension
+    # work stays on index arrays.
+    # NOTE on multiplicity: the reference's flank index never stores
+    # the contig mul it is handed (contig_flank_index.h:64 constructs
+    # FlankInfo{ext_seq, ext_len}, zero-initializing the .mul field
+    # FeedBatchContigs was passed), so its windowed-average formula
+    # (contig_flank_index.h:202-209) always rounds to 0 and every
+    # junction edge is written with multiplicity 0. We mirror that:
+    # junction edges carry mul 0 into seq2sdbg (verified against a
+    # reference 41.edges.0 dump - all 305 muls were 0).
     exist = np.zeros(n_bases, dtype=bool)
-    mul_sum = np.zeros(n_bases, dtype=np.float64)
-    mul_cnt = np.zeros(n_bases, dtype=np.int64)
 
-    def contribute(pos, mul_at):
+    def contribute(pos):
         exist[pos] = True
-        np.add.at(mul_sum, pos, mul_at)
-        np.add.at(mul_cnt, pos, 1)
 
     fpos0 = np.flatnonzero(hit_f >= 0)
     rpos0 = np.flatnonzero(hit_r >= 0)
-    contribute(fpos0, index.mul[hit_f[fpos0]])
-    contribute(rpos0, index.mul[hit_r[rpos0]])
+    contribute(fpos0)
+    contribute(rpos0)
 
     lengths = np.diff(starts)
     read_start_at = np.repeat(starts[:-1], lengths)
@@ -222,7 +225,7 @@ def find_next_kmers(
                   & (j < index.ext_len[h])]
         tgt = src + j + 1
         ok = valid1[tgt]
-        contribute(tgt[ok], index.mul[hit_f[src[ok]]])
+        contribute(tgt[ok])
 
     # rc extensions: flank at p validates p-1-j while comp(read base)
     # equals ext base j
@@ -236,15 +239,13 @@ def find_next_kmers(
                   & (j < index.ext_len[h])]
         tgt = src - 1 - j
         ok = valid1[tgt]
-        contribute(tgt[ok], index.mul[hit_r[src[ok]]])
+        contribute(tgt[ok])
 
-    kmer_mul = np.where(mul_cnt > 0, mul_sum / np.maximum(mul_cnt, 1), 0.0)
     idxs = np.arange(n_bases)
 
     # runs of step+1 consecutive marked positions -> emit the read's
     # (k+step+1)-mer covering the run
     cnt = np.concatenate([[0], np.cumsum(exist.astype(np.int64))])
-    mcum = np.concatenate([[0.0], np.cumsum(kmer_mul)])
     a = idxs[: n_bases - step] if n_bases > step else np.zeros(0, np.int64)
     full_run = (cnt[a + step + 1] - cnt[a]) == step + 1
     valid2 = window_valid_mask(starts, k2, n_bases)
@@ -252,10 +253,7 @@ def find_next_kmers(
     a_list = a[emit]
     if len(a_list) == 0:
         return (np.zeros((0, w2), np.uint32), np.zeros(0, np.int32))
-    mul_list = (mcum[a_list + step + 1] - mcum[a_list]) / (step + 1)
-    mul_list = np.minimum(
-        np.floor(mul_list + 0.5), KMAX_MUL
-    ).astype(np.int32)
+    mul_list = np.zeros(len(a_list), dtype=np.int32)
 
     # gather + canonicalize the emitted (k2)-mers (emissions are sparse
     # relative to positions: a targeted gather beats dense extraction)

@@ -154,9 +154,15 @@ def output_contigs(
 
     contigs: list[ContigRecord] = []
     finals: list[ContigRecord] = []
+    # output strand: the reference's VertexToDNAString calls
+    # ToUniqueFormat (unitig_graph_vertex.h:73-77) - flip to the
+    # strand whose BEGIN edge id is smaller (canonical_id = min(b, rb))
+    rr = graph.sdbg.ref_rank
     for v in subset:
         v = int(v)
         codes = codes_by_v[v]
+        if rr[graph.rc_start[v]] < rr[graph.start[v]]:
+            codes = packing.revcomp_codes(codes)
         multi = 1.0 if change_only else min(
             float(kmax_mul), graph.total_depth[v] / max(graph.length[v], 1)
         )

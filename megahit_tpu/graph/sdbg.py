@@ -128,16 +128,17 @@ class Sdbg:
 
     @property
     def ref_rank(self) -> np.ndarray:
-        """(E,) int32: rank of each edge in the REFERENCE's SdBG item
-        order - (last k chars, first char), i.e. the rotated key (see
-        kmerops.rotate_kmers_left; seq_to_sdbg.cpp:660-696). Real-edge
-        relative order in the reference file equals this rank order
-        (dummy-$ rows only interleave), so all orientation/ordering
-        tie-breaks that the reference resolves by edge id are resolved
-        here by ref_rank. Computed lazily, cached; invalid rows rank
-        after all valid rows."""
+        """(E,) int32: rank of each edge in the REFERENCE's SdBG
+        edge-id order - colex by source node (first k-1 chars
+        reversed), then the last char (kmerops.ref_order_keys;
+        verified against a GetLabel dump of a reference .sdbg file).
+        Real-edge relative order in the reference file equals this
+        rank order (dummy-$ rows only interleave), so orientation/
+        ordering tie-breaks the reference resolves by edge id are
+        resolved here by ref_rank. Computed lazily, cached; invalid
+        rows rank after all valid rows."""
         if getattr(self, "_ref_rank", None) is None:
-            rot = kmerops.rotate_kmers_left(
+            rot = kmerops.ref_order_keys(
                 jnp.asarray(self.keys), self.k
             )
             inval = jnp.asarray(~self.valid).astype(jnp.uint32)
@@ -184,12 +185,17 @@ class Sdbg:
             )  # key <= rc(key)
         else:
             canon = np.zeros(0, dtype=bool)
+        # validity is stored for ALL real rows (not just the canonical
+        # half): it may be rc-asymmetric mid-mutation, and the
+        # reconstructed sorted row order equals the original so the
+        # bits map 1:1
         np.savez(
             path, k=np.int64(self.k), format=np.int64(2),
             keys=keys[canon],
             mult=np.asarray(self.mult[:e][canon], dtype=np.uint16),
-            valid=np.packbits(self.valid[:e][canon]),
+            valid=np.packbits(self.valid[:e]),
             n_canon=np.int64(int(canon.sum())),
+            n_real=np.int64(e),
         )
 
     @classmethod
@@ -204,8 +210,9 @@ class Sdbg:
         k = int(z["k"])
         ckeys = z["keys"]
         n = int(z["n_canon"])
+        n_real = int(z["n_real"])
         cmult = z["mult"].astype(np.int32)
-        cvalid = np.unpackbits(z["valid"], count=n).astype(bool)
+        real_valid = np.unpackbits(z["valid"], count=n_real).astype(bool)
         if n == 0:
             return _make_sdbg(
                 np.zeros((0, kmerops.words_per_kmer(k)), np.uint32),
@@ -213,21 +220,21 @@ class Sdbg:
                 *(np.zeros((0, 4), np.int32) for _ in range(4)), k,
             )
         # restore the full strand-closed set: add rc rows, re-sort,
-        # drop the palindrome duplicates
+        # drop the palindrome duplicates. The sorted reconstructed
+        # order equals the original row order (same key set), so the
+        # per-row validity bits apply positionally.
         rck = np.asarray(kmerops.revcomp_kmers(jnp.asarray(ckeys), k))
         keys = np.concatenate([ckeys, rck], axis=0)
         mult = np.concatenate([cmult, cmult])
-        valid = np.concatenate([cvalid, cvalid])
-        skeys, smult, svalid = (
+        skeys, smult = (
             np.asarray(a) for a in kmerops.sort_keys_with_payload(
                 jnp.asarray(keys), jnp.asarray(mult),
-                jnp.asarray(valid.astype(np.int32)),
             )
         )
         head = np.ones(len(skeys), dtype=bool)
         head[1:] = (skeys[1:] != skeys[:-1]).any(axis=1)
         skeys, smult = skeys[head], smult[head]
-        svalid = svalid[head].astype(bool)
+        svalid = real_valid
         # capacity-pad and construct LAZILY - rc + candidate tables
         # rebuild on first navigation, so load stays O(core)
         e = len(skeys)

@@ -356,14 +356,88 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
 
 def _refresh_full(graph, delete, disc_fwd, disc_rc,
                   set_changed: bool) -> UnitigGraph:
-    """Full edge-level rebuild (fallback path)."""
+    """Full edge-level rebuild (fallback path), then reorder/reorient
+    to the reference Refresh's stable slot semantics."""
     s = graph.sdbg
     kill_edges = _kill_edge_mask(graph, delete, disc_fwd, disc_rc)
     if kill_edges.any():
         s.invalidate(kill_edges)
     g2 = build_unitig_graph(s)
+    g2 = _reference_order(graph, g2, disc_fwd, disc_rc)
     _propagate_changed(graph, g2, set_changed)
     return g2
+
+
+def _reference_order(graph, g2, disc_fwd, disc_rc):
+    """Reorder + reorient a freshly rebuilt graph to the reference
+    Refresh's STABLE slot semantics (unitig_graph.cpp:210-355 at -t 1,
+    see _refresh_contracted): a merged chain claims the slot of its
+    min-old-slot end vertex oriented so that vertex is the head; a
+    cycle claims its min-old-slot member's slot, oriented along that
+    member's stored strand and anchored at its begin edge. The rank
+    order build_unitig_graph produces only matches the reference for
+    the FIRST construction; every later rebuild must be slot-stable."""
+    nv = g2.size
+    if nv == 0 or graph.vid is None:
+        return g2
+    s = graph.sdbg
+    old_vid = graph.vid.astype(np.int64)
+    # stored-orientation start edge per old vertex, disconnect-adjusted
+    adj_start = graph.start.astype(np.int64).copy()
+    df = np.flatnonzero(disc_fwd)
+    if len(df):
+        adj_start[df] = graph.nxt[graph.start[df]]
+
+    rep_slot = np.empty(nv, np.int64)
+    flip = np.zeros(nv, bool)
+    new_start = g2.start.astype(np.int64).copy()
+    new_end = g2.end.astype(np.int64).copy()
+
+    ch = ~g2.is_loop
+    h = old_vid[g2.start]
+    t = old_vid[g2.rc_start]
+    keep_asis = (h < t) | (
+        (h == t) & (g2.start.astype(np.int64)
+                    == adj_start[np.maximum(h, 0)])
+    )
+    flip[ch] = ~keep_asis[ch]
+    rep_slot[ch] = np.minimum(h, t)[ch]
+
+    loops = np.flatnonzero(g2.is_loop)
+    if len(loops):
+        ok = (g2.vid >= 0) & s.valid
+        mslot = np.full(nv, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mslot, g2.vid[ok], old_vid[ok])
+        rep_slot[loops] = mslot[loops]
+        s0 = adj_start[mslot[loops]]
+        aend = g2.prv[s0].astype(np.int64)
+        new_start[loops] = s0
+        new_end[loops] = aend
+
+    f = np.flatnonzero(flip)
+    if len(f):
+        ns, ne = g2.rc_start[f].astype(np.int64), \
+            g2.rc_end[f].astype(np.int64)
+        new_start[f], new_end[f] = ns, ne
+
+    perm = np.argsort(rep_slot, kind="stable")
+    inv = np.empty(nv, dtype=np.int32)
+    inv[perm] = np.arange(nv, dtype=np.int32)
+    vid_new = g2.vid.copy()
+    okv = vid_new >= 0
+    vid_new[okv] = inv[vid_new[okv]]
+    return UnitigGraph(
+        g2.k, s,
+        new_start[perm].astype(np.int32),
+        new_end[perm].astype(np.int32),
+        s.rc[new_end[perm]].astype(np.int32),
+        s.rc[new_start[perm]].astype(np.int32),
+        g2.length[perm], g2.total_depth[perm],
+        g2.is_loop[perm], g2.is_palindrome[perm],
+        vid_new,
+        chain_start=g2.chain_start, edge_pos=g2.edge_pos,
+        nxt=g2.nxt, prv=g2.prv,
+    )
 
 
 def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
@@ -472,59 +546,66 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     c_loop = in_cycle[rep]
     pair_first = chain_of[se_rc[c_last]]
 
-    # canonical anchor per super-chain, matching the full rebuild
-    # (reference scan convention, see build_unitig_graph): simple
-    # chains anchor at their TAIL edge (the rc pair's tail is the rc
-    # of the own head edge); NEW cycles anchor at their min-ref_rank
-    # member edge. Comparisons use Sdbg.ref_rank (reference item
-    # order), not raw indices.
-    rr = s.ref_rank
+    # reference Refresh ordering/orientation (unitig_graph.cpp:210-355,
+    # sequential -t 1 semantics): a merged chain takes the SLOT of its
+    # min-old-slot END vertex, oriented so that vertex is the head
+    # (claim loop scans slots ascending, strand 0 then 1); a NEW cycle
+    # takes the slot of its min-old-slot member, oriented along that
+    # member's STORED strand and anchored at its begin edge; the vertex
+    # vector is then compacted STABLY (std::remove_if) - survivors keep
+    # relative slot order, loops interleaved, NOT re-canonicalized.
+    oldslot_se = np.concatenate([lv, lv[npal]]).astype(np.int64)
     if m:
-        anchor_edge = se_end[chain_end[rep]].astype(np.int64)
-        anchor_pair_edge = s.rc[se_start[rep]].astype(np.int64)
+        h_slot = oldslot_se[c_first]
+        t_slot = oldslot_se[chain_end[rep]]
+        anchor_start = se_start[c_first].astype(np.int64)
+        anchor_end = se_end[chain_end[rep]].astype(np.int64)
     else:
-        anchor_edge = anchor_pair_edge = rep.astype(np.int64)
+        h_slot = t_slot = rep.astype(np.int64)
+        anchor_start = anchor_end = rep.astype(np.int64)
+    # orientation: head end with the smaller old slot claims; single-
+    # vertex chains (h == t) keep their stored orientation (the claim
+    # loop tries strand 0 first and linear_path is empty)
+    keep = (h_slot < t_slot) | ((h_slot == t_slot) & (c_first < n_l))
+    keep |= pair_first == c_first  # palindromic chains appear once
+    rep_slot = np.minimum(h_slot, t_slot)
     if m and in_cycle.any():
-        # per OLD chain: the member edge with min ref_rank
-        amin_old = np.full(e_sz, -1, dtype=np.int64)
-        vv = np.flatnonzero(s.valid)
-        o2 = vv[np.lexsort((rr[vv], graph.chain_start[vv]))]
-        f2 = np.ones(len(o2), dtype=bool)
-        f2[1:] = graph.chain_start[o2[1:]] != graph.chain_start[o2[:-1]]
-        amin_old[graph.chain_start[o2[f2]]] = o2[f2]
-        oldchain_key = np.concatenate(
-            [graph.start[lv], graph.rc_start[lv[npal]]]
+        # per NEW cycle: min old slot over member super-edges; the
+        # kept orientation is the cycle CONTAINING that member's
+        # forward (stored-strand) super-edge
+        ms = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ms, chain_of, oldslot_se)
+        cyc = in_cycle[rep]
+        fwd_se_of_slot = np.full(graph.size, -1, dtype=np.int64)
+        fwd_se_of_slot[lv] = np.arange(n_l)
+        s_star = np.where(
+            cyc, fwd_se_of_slot[np.minimum(ms[rep], graph.size - 1)], 0
         )
-        ae_se = amin_old[oldchain_key]          # (m,) per super-edge
-        # per NEW chain: min-rank among member super-edges' minima
-        cyc_amin = np.full(m, -1, dtype=np.int64)
-        o3 = np.lexsort((rr[np.maximum(ae_se, 0)], chain_of))
-        f3 = np.ones(m, dtype=bool)
-        f3[1:] = chain_of[o3[1:]] != chain_of[o3[:-1]]
-        cyc_amin[chain_of[o3[f3]]] = ae_se[o3[f3]]
-        cyc_rep = in_cycle[rep]
-        anchor_edge = np.where(cyc_rep, cyc_amin[rep], anchor_edge)
-        anchor_pair_edge = np.where(
-            cyc_rep, cyc_amin[pair_first], anchor_pair_edge
+        keep = np.where(cyc, chain_of[s_star] == rep, keep)
+        rep_slot = np.where(cyc, ms[rep], rep_slot)
+        # anchor start = that member's begin edge; end = its cycle
+        # predecessor's last edge (reference: b() / PrevSimplePath)
+        anchor_start = np.where(cyc, se_start[s_star], anchor_start)
+        anchor_end = np.where(
+            cyc, se_end[prv_se[s_star]], anchor_end
         )
 
-    # canonical orientation + order: smaller anchor rank wins
-    keep = rr[anchor_edge] <= rr[anchor_pair_edge]
     v_first = c_first[keep]
     v_last = chain_end[rep][keep]
     v_pairf = pair_first[keep]
     v_loop = c_loop[keep]
-    v_anchor = anchor_edge[keep]
-    order = np.argsort(rr[v_anchor], kind="stable")
+    v_rep_slot = rep_slot[keep]
+    v_startE = anchor_start[keep]
+    v_endE = anchor_end[keep]
+    order = np.argsort(v_rep_slot, kind="stable")
     v_first, v_last = v_first[order], v_last[order]
     v_pairf, v_loop = v_pairf[order], v_loop[order]
-    v_anchor = v_anchor[order]
+    v_rep_slot = v_rep_slot[order]
+    v_startE, v_endE = v_startE[order], v_endE[order]
 
     nv = len(v_first)
-    v_start = np.where(v_loop, v_anchor,
-                       se_start[v_first] if m else v_first
-                       ).astype(np.int32)
-    v_end = se_end[v_last].astype(np.int32)  # loops fixed up below
+    v_start = v_startE.astype(np.int32)
+    v_end = v_endE.astype(np.int32)
     v_len = len_per[v_first].astype(np.int32)
     v_dep = dep_per[v_first]
     v_pal = v_first == v_pairf
@@ -590,13 +671,11 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         nxt_new[se_end[no]] = NULL
         prv_new[se_start[np.flatnonzero(prv_se < 0)]] = NULL
 
-    # NEW cycles: anchored at the min member edge id (full-rebuild mn
-    # convention, end = min, start = next(min)); re-anchor members'
-    # chain_start at the representative (min) edge
+    # NEW cycles: re-anchor members' chain_start at the anchor (end)
+    # edge (v_start/v_end already follow the reference's rep-slot
+    # begin-edge convention; v_start == nxt_new[v_end] by construction)
     new_loops = np.flatnonzero(v_loop)
     if len(new_loops):
-        v_end[new_loops] = v_anchor[new_loops].astype(np.int32)
-        v_start[new_loops] = nxt_new[v_end[new_loops]]
         is_new_loop = np.zeros(max(nv, 1), dtype=bool)
         is_new_loop[new_loops] = True
         memb = mc.copy()
@@ -613,9 +692,11 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     a_start = cat(v_start, graph.start[ll]).astype(np.int32)
     a_end = cat(v_end, graph.end[ll]).astype(np.int32)
     a_loop = cat(v_loop, graph.is_loop[ll])
-    # full-rebuild row order: all chains by tail rank, then all
-    # loops (new cycles + carried) by their anchor (= end) rank
-    perm = np.lexsort((rr[a_end], a_loop.astype(np.int8)))
+    # reference row order: stable compaction by representative OLD
+    # slot (chains, new cycles and carried loops interleaved); rep
+    # slots are unique across the three classes
+    a_rep = cat(v_rep_slot, ll.astype(np.int64))
+    perm = np.argsort(a_rep, kind="stable")
     inv = np.empty(len(perm), dtype=np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
     ok_v = vid_new >= 0

@@ -367,7 +367,7 @@ class Pipeline:
                 flat, starts = packing.pack_many(seqs)
                 sources.append(PoolSource(
                     flat, starts,
-                    np.round(np.asarray(mults)).astype(np.int32),
+                    np.floor(np.asarray(mults) + 0.5).astype(np.int32),
                 ))
             if edge_keys is not None and len(edge_keys):
                 sources.append(EdgeSource(edge_keys, edge_counts))
@@ -388,7 +388,7 @@ class Pipeline:
             flat, starts = packing.pack_many(seqs)
             keys, kmults = window_edge_multiset(
                 flat, starts,
-                np.round(np.asarray(mults)).astype(np.int32), km,
+                np.floor(np.asarray(mults) + 0.5).astype(np.int32), km,
             )
             if edge_keys is not None and len(edge_keys):
                 # union the contig-window multiset with the edge-file

@@ -102,7 +102,7 @@ def cmd_seq2sdbg(args) -> int:
     if seqs:
         flat, starts = packing.pack_many(seqs)
         sdbg = build_sdbg(
-            flat, starts, np.round(np.asarray(mults)).astype(np.int32),
+            flat, starts, np.floor(np.asarray(mults) + 0.5).astype(np.int32),
             km,
         )
         if edge_keys is not None and len(edge_keys):

@@ -50,7 +50,10 @@ def test_junction_edges_emitted():
     # emit exactly the windows a in [69, 77]
     want = {canon(genome[a : a + k2]) for a in range(69, 78)}
     assert got == want
-    assert (muls > 0).all()
+    # junction edges carry multiplicity 0, matching the reference
+    # (FlankInfo.mul is never set, contig_flank_index.h:64 - see
+    # iterate.py module docstring)
+    assert (muls == 0).all()
 
 
 def test_no_contigs_no_edges():

@@ -268,3 +268,52 @@ def test_empty_input_completes(tmp_path):
     assert rc == 0
     finals = read_contigs(os.path.join(out, "final.contigs.fa"))
     assert finals == []
+
+
+def test_error_rich_byte_identical_t1(ref_megahit, tmp_path):
+    """BYTE-level parity vs the reference at -t 1 on error-rich
+    multi-genome reads through a 3-k ladder (no-local: the one
+    remaining local-assembly deviation is IDBA's internal hash-table
+    iteration order, which only breaks ties between equally-supported
+    bubble variants). Locks in: colex edge-id order (ref_rank),
+    ToUniqueFormat output strands, stable Refresh slot order,
+    canonical-id bubble tie-breaks, bubble record emission, round-half-
+    up contig multis, and zero-mul junction edges."""
+    import gzip
+
+    rng = np.random.default_rng(10018)
+    genomes = [rng.integers(0, 4, s).astype(np.uint8)
+               for s in (20442, 39131, 15999)]
+    insert, rl, err = 280, 100, 0.005
+    p1, p2 = str(tmp_path / "r1.fa.gz"), str(tmp_path / "r2.fa.gz")
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        n = 0
+        for g in genomes:
+            n_pairs = max(4, int(len(g) * 12 / (2 * rl)))
+            starts = rng.integers(0, len(g) - insert, n_pairs)
+            for s in sorted(starts.tolist()):
+                frag = g[s : s + insert]
+                r1 = frag[:rl].copy()
+                r2 = packing.revcomp_codes(frag[-rl:]).copy()
+                for r in (r1, r2):
+                    m = rng.random(rl) < err
+                    r[m] = (r[m] + rng.integers(1, 4, int(m.sum()))) % 4
+                f1.write(f">p{n}/1\n{packing.decode(r1)}\n")
+                f2.write(f">p{n}/2\n{packing.decode(r2)}\n")
+                n += 1
+    args = ["-1", p1, "-2", p2, "--k-list", "21,41",
+            "--min-contig-len", "300", "--no-local"]
+    ref_out = str(tmp_path / "ref_out")
+    subprocess.run(
+        ["python", ref_megahit] + args + ["-o", ref_out, "-t", "1"],
+        check=True, capture_output=True,
+    )
+    from megahit_tpu.__main__ import main
+
+    our_out = str(tmp_path / "our_out")
+    assert main(args + ["-o", our_out]) == 0
+    with open(os.path.join(ref_out, "final.contigs.fa")) as f:
+        ref_bytes = f.read()
+    with open(os.path.join(our_out, "final.contigs.fa")) as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes
