@@ -71,25 +71,33 @@ def _codes_to_hilo(cm: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _bisect2(t_hi: np.ndarray, t_lo: np.ndarray,
-             q_hi: np.ndarray, q_lo: np.ndarray) -> np.ndarray:
-    """Exact-match index of each (q_hi, q_lo) in the sorted pair table
-    (t_hi, t_lo); -1 where absent. Vectorized two-column bisect."""
-    if len(t_hi) == 0 or len(q_hi) == 0:
-        return np.full(len(q_hi), -1, np.int64)
-    lo = np.searchsorted(t_hi, q_hi, "left")
-    hi = np.searchsorted(t_hi, q_hi, "right")
+def _bisect3(t_g: np.ndarray, t_hi: np.ndarray, t_lo: np.ndarray,
+             q_g: np.ndarray, q_hi: np.ndarray, q_lo: np.ndarray
+             ) -> np.ndarray:
+    """Exact-match index of each (q_g, q_hi, q_lo) in the table sorted
+    by (group, hi, lo); -1 where absent. The group rides as its own
+    column: packing it into the hi word's spare bits (round-1 scheme)
+    silently overflows u64 once 2k + group bits > 128 - e.g. every
+    mini-assembly rung at k >= 65, and k in {59..63} for wide slabs -
+    colliding vertices ACROSS groups and shredding their graphs."""
+    if len(t_g) == 0 or len(q_g) == 0:
+        return np.full(len(q_g), -1, np.int64)
+    lo = np.searchsorted(t_g, q_g, "left")
+    hi = np.searchsorted(t_g, q_g, "right")
     while True:
         active = lo < hi
         if not active.any():
             break
         mid = (lo + hi) >> 1
-        v = t_lo[np.minimum(mid, len(t_lo) - 1)]
-        right = active & (v < q_lo)
+        safe = np.minimum(mid, len(t_hi) - 1)
+        mh = t_hi[safe]
+        ml = t_lo[safe]
+        right = active & ((mh < q_hi) | ((mh == q_hi) & (ml < q_lo)))
         lo = np.where(right, mid + 1, lo)
         hi = np.where(active & ~right, mid, hi)
-    idx = np.minimum(lo, len(t_hi) - 1)
-    found = (t_hi[idx] == q_hi) & (t_lo[idx] == q_lo)
+    idx = np.minimum(lo, len(t_g) - 1)
+    found = (t_g[idx] == q_g) & (t_hi[idx] == q_hi) \
+        & (t_lo[idx] == q_lo)
     return np.where(found, idx, -1)
 
 
@@ -106,9 +114,10 @@ class _VertexTable:
         self.out0 = out0      # (V,) uint8 out-edge bits, canonical strand
         self.out1 = out1      # (V,) uint8 out-edge bits, rc strand
         self.alive = np.ones(len(gid), dtype=bool)
-        self.bits_hi = max(0, 2 * k - 64)
         c_hi, c_lo = _codes_to_hilo(vk, k)
-        self.key_hi = (gid.astype(_U64) << _U64(self.bits_hi)) | c_hi
+        # (group, hi, lo) three-column key; rows arrive sorted by it
+        self.key_g = gid.astype(_U64)
+        self.key_hi = c_hi
         self.key_lo = c_lo
 
     @property
@@ -299,7 +308,7 @@ def _contract(tbl: _VertexTable) -> _Contigs:
     nbr_v = np.full((nv, 2, 4), -1, np.int64)   # local neighbour vertex
     nbr_t = np.zeros((nv, 2, 4), np.int8)       # neighbour strand
     pruned = np.zeros((nv, 2), np.uint8)
-    gkey = tbl.gid[av].astype(_U64) << _U64(tbl.bits_hi)
+    gq = tbl.gid[av].astype(_U64)
     for s in (0, 1):
         om = fwd if s == 0 else rcm
         tail = om[:, 1:]
@@ -313,9 +322,10 @@ def _contract(tbl: _VertexTable) -> _Contigs:
             rsh = (3 - sh[:, ::-1]).astype(np.uint8)
             r_hi, r_lo = _codes_to_hilo(rsh, k)
             is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-            q_hi = gkey[has] | np.where(is_f, f_hi, r_hi)
+            q_hi = np.where(is_f, f_hi, r_hi)
             q_lo = np.where(is_f, f_lo, r_lo)
-            gi = _bisect2(tbl.key_hi, tbl.key_lo, q_hi, q_lo)
+            gi = _bisect3(tbl.key_g, tbl.key_hi, tbl.key_lo,
+                          gq[has], q_hi, q_lo)
             ok = (gi >= 0) & tbl.alive[np.maximum(gi, 0)]
             li = np.where(ok, inv[np.maximum(gi, 0)], -1)
             rows = np.flatnonzero(has)
