@@ -189,8 +189,6 @@ def find_next_kmers(
     hit_f[~valid1] = NULL
     hit_r[~valid1] = NULL
 
-    # accumulate marks; hit positions are sparse, so all extension
-    # work stays on index arrays.
     # NOTE on multiplicity: the reference's flank index never stores
     # the contig mul it is handed (contig_flank_index.h:64 constructs
     # FlankInfo{ext_seq, ext_len}, zero-initializing the .mul field
@@ -199,22 +197,55 @@ def find_next_kmers(
     # junction edge is written with multiplicity 0. We mirror that:
     # junction edges carry mul 0 into seq2sdbg (verified against a
     # reference 41.edges.0 dump - all 305 muls were 0).
-    exist = np.zeros(n_bases, dtype=bool)
-
-    def contribute(pos):
-        exist[pos] = True
-
-    fpos0 = np.flatnonzero(hit_f >= 0)
-    rpos0 = np.flatnonzero(hit_r >= 0)
-    contribute(fpos0)
-    contribute(rpos0)
 
     lengths = np.diff(starts)
     read_start_at = np.repeat(starts[:-1], lengths)
     read_end_at = np.repeat(starts[1:], lengths)
 
-    # forward extensions: flank at p validates p+1+j while read base at
-    # p+k1+j equals ext base j (prefix-And over j, index-based)
+    # forward-extension match length per fwd hit: m(p) = number of
+    # consecutive read bases at p+k1+j equal to the flank's ext base j
+    fpos0 = np.flatnonzero(hit_f >= 0)
+    rpos0 = np.flatnonzero(hit_r >= 0)
+    m_fwd = np.zeros(n_bases, dtype=np.int32)
+    src = fpos0
+    for j in range(step - 1):
+        src = src[src + k1 + j < read_end_at[src]]
+        if len(src) == 0:
+            break
+        h = hit_f[src]
+        src = src[(flat_codes[src + k1 + j] == index.ext_bases[h, j])
+                  & (j < index.ext_len[h])]
+        m_fwd[src] = j + 1
+
+    # the reference scans each read LEFT-TO-RIGHT and skips lookups at
+    # positions covered by an earlier forward extension (next_pos
+    # advances past matched bases, contig_flank_index.h:113-170); a
+    # skipped position's own extensions never run. Emulate the greedy
+    # cover exactly: a hit is PERFORMED iff its position is not inside
+    # a previously-performed hit's forward-extension jump.
+    hits = np.flatnonzero((hit_f >= 0) | (hit_r >= 0))
+    performed = np.zeros(n_bases, dtype=bool)
+    skip_until = -1
+    for p in hits:
+        if read_start_at[p] > skip_until:
+            skip_until = -1  # new read resets the jump
+        if p <= skip_until:
+            continue
+        performed[p] = True
+        if hit_f[p] >= 0:
+            skip_until = p + m_fwd[p]
+
+    exist = np.zeros(n_bases, dtype=bool)
+
+    def contribute(pos):
+        exist[pos] = True
+
+    fpos0 = np.flatnonzero((hit_f >= 0) & performed)
+    rpos0 = np.flatnonzero((hit_r >= 0) & performed)
+    contribute(fpos0)
+    contribute(rpos0)
+
+    # forward extensions mark p+1..p+m (performed hits only)
     src = fpos0
     for j in range(step - 1):
         src = src[src + k1 + j < read_end_at[src]]
@@ -227,8 +258,7 @@ def find_next_kmers(
         ok = valid1[tgt]
         contribute(tgt[ok])
 
-    # rc extensions: flank at p validates p-1-j while comp(read base)
-    # equals ext base j
+    # rc extensions mark p-1-j backwards (performed hits only)
     src = rpos0
     for j in range(step - 1):
         src = src[src - 1 - j >= read_start_at[src]]

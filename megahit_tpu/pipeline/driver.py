@@ -346,7 +346,7 @@ class Pipeline:
                 )
                 for r in recs:
                     seqs.append(r.codes)
-                    mults.append(max(1.0, r.multi))
+                    mults.append(r.multi)
             if n_edge_inputs == 0 and not seqs:
                 raise EarlyTerminate(k_from)
 
@@ -433,7 +433,7 @@ class Pipeline:
                     if r.flag & skip:
                         continue
                     contigs.append(r.codes)
-                    muls.append(max(1.0, r.multi))
+                    muls.append(r.multi)
         index = it.build_flank_index(contigs, muls, cur_k, step)
         keys, counts = it.find_next_kmers(
             lib.flat_codes, lib.starts, index

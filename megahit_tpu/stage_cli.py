@@ -97,7 +97,7 @@ def cmd_seq2sdbg(args) -> int:
             else None,
         ):
             seqs.append(r.codes)
-            mults.append(max(1.0, r.multi))
+            mults.append(r.multi)
 
     if seqs:
         flat, starts = packing.pack_many(seqs)
@@ -181,7 +181,7 @@ def cmd_iterate(args) -> int:
         if path:
             for r in read_contigs(path):
                 contigs.append(r.codes)
-                muls.append(max(1.0, r.multi))
+                muls.append(r.multi)
     index = build_flank_index(contigs, muls, args.kmer_k, args.step)
     keys, counts = find_next_kmers(lib.flat_codes, lib.starts, index)
     np.savez(args.output + ".edges.npz", keys=keys,

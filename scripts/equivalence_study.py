@@ -91,8 +91,9 @@ def run_one(i, seed, workdir):
         args += ["--presets", preset]
     ref_out = os.path.join(workdir, "ref")
     our_out = os.path.join(workdir, "ours")
+    ref_threads = os.environ.get("EQUIV_REF_THREADS", "1")
     subprocess.run(
-        ["python", REF] + args + ["-o", ref_out, "-t", "4"],
+        ["python", REF] + args + ["-o", ref_out, "-t", ref_threads],
         check=True, capture_output=True,
     )
     from megahit_tpu.__main__ import main
