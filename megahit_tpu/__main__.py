@@ -34,6 +34,9 @@ def make_parser() -> argparse.ArgumentParser:
     o.add_argument("--out-prefix", default="")
     o.add_argument("--min-contig-len", type=int, default=200)
     o.add_argument("--keep-tmp-files", action="store_true")
+    o.add_argument("--tmp-dir", default="",
+                   help="set temp directory (a megahit_tmp_* dir is "
+                   "created inside, reference src/megahit:461)")
     o.add_argument("-f", "--force", action="store_true",
                    help="overwrite an existing output directory")
 
@@ -45,6 +48,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="host thread budget for CPU-bound stages "
                    "(0 = all logical CPUs; the device path is "
                    "scheduled by XLA)")
+    h.add_argument("--mem-flag", type=int, default=1, choices=[0, 1, 2],
+                   help="SdBG builder memory mode: 0 minimum (more, "
+                   "smaller rounds), 1 moderate, 2 use all of -m")
     h.add_argument("--no-hw-accel", action="store_true",
                    help="reference parity alias for --platform cpu")
     h.add_argument("--mesh", dest="use_mesh", action="store_true",
@@ -81,8 +87,22 @@ def make_parser() -> argparse.ArgumentParser:
                    help="JAX backend: auto keeps the environment default; "
                    "cpu forces host execution (small inputs / remote-"
                    "tunneled TPUs pay per-op RTT otherwise)")
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-v", "--version", action="store_true",
+                   dest="show_version", help="print version and exit")
+    p.add_argument("--verbose", action="store_true")
+    # deprecated flags the reference accepts and ignores
+    # (src/megahit:410-413)
+    for flag, nargs in (("--cpu-only", 0), ("-l", 1),
+                        ("--max-read-len", 1), ("--no-low-local", 0),
+                        ("--use-gpu", 0), ("--gpu-mem", 1)):
+        p.add_argument(flag, nargs=None if nargs else 0,
+                       action=_Deprecated, help=argparse.SUPPRESS)
     return p
+
+
+class _Deprecated(argparse.Action):
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(f"option {option_string} is deprecated!", file=sys.stderr)
 
 
 def _split(vals: list[str]) -> list[str]:
@@ -119,6 +139,11 @@ def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    if args.show_version:
+        from megahit_tpu import __version__
+
+        print(f"megahit_tpu v{__version__}")
+        return 0
 
     from megahit_tpu.utils.threads import set_num_threads
 
@@ -181,6 +206,7 @@ def main(argv=None) -> int:
         cleaning_rounds=args.cleaning_rounds,
         max_tip_len=args.max_tip_len,
         keep_tmp_files=args.keep_tmp_files,
+        temp_dir=args.tmp_dir, mem_flag=args.mem_flag,
         test_mode=args.test_mode,
         continue_mode=args.continue_mode,
         verbose=args.verbose,

@@ -84,11 +84,33 @@ class Pipeline:
         self.opt = opt
         self.log = get_logger()
         self.out_dir = opt.out_dir
-        self.tmp_dir = os.path.join(opt.out_dir, "tmp")
+        self.tmp_dir = self._resolve_tmp_dir(opt)
         self.contig_dir = os.path.join(opt.out_dir, "intermediate_contigs")
         self.lib: SequenceLib | None = None
 
     # ---------------- paths
+
+    @staticmethod
+    def _resolve_tmp_dir(opt: Options) -> str:
+        """Reference --tmp-dir: a fresh megahit_tmp_* dir inside the
+        given root (src/megahit:458-461). The resolved path is written
+        back to opt.temp_dir so --continue (which reloads the saved
+        options) reuses the same directory."""
+        if not opt.temp_dir:
+            return os.path.join(opt.out_dir, "tmp")
+        if os.path.basename(opt.temp_dir).startswith("megahit_tmp_"):
+            return opt.temp_dir  # already resolved (resumed run)
+        if opt.continue_mode:
+            # defer: run() re-resolves from the SAVED options, which
+            # carry the previously minted megahit_tmp_* path
+            return opt.temp_dir
+        import tempfile
+
+        os.makedirs(opt.temp_dir, exist_ok=True)
+        opt.temp_dir = tempfile.mkdtemp(
+            dir=opt.temp_dir, prefix="megahit_tmp_"
+        )
+        return opt.temp_dir
 
     def graph_prefix(self, k: int) -> str:
         d = os.path.join(self.tmp_dir, f"k{k}")
@@ -143,7 +165,12 @@ class Pipeline:
             )
         else:
             budget = m
-        return int(max(1 << 14, int(budget) // (12 * (w + 1))))
+        rows = int(budget) // (12 * (w + 1))
+        if self.opt.mem_flag == 0:
+            # minimum-memory mode: more, smaller rounds (reference
+            # mem_flag 0 = kMaxLv1ScanTime sizing, base_engine.cpp:103)
+            rows //= 8
+        return int(max(1 << 14, rows))
 
     def _mesh(self):
         if not self.opt.use_mesh:
@@ -494,7 +521,15 @@ class Pipeline:
             saved = Options.load(opt_path)
             saved.continue_mode = True
             self.opt = o = saved
+            self.tmp_dir = self._resolve_tmp_dir(o)
         else:
+            if o.temp_dir and not os.path.basename(
+                    o.temp_dir).startswith("megahit_tmp_"):
+                # --continue with nothing to resume: mint the tmp dir
+                # the deferred __init__ resolution skipped
+                prev, o.continue_mode = o.continue_mode, False
+                self.tmp_dir = self._resolve_tmp_dir(o)
+                o.continue_mode = prev
             o.save(opt_path)
         from ..utils.threads import set_num_threads
 

@@ -47,9 +47,11 @@ class Options:
     min_contig_len: int = 200
     # resources (reference -m, src/megahit:165,596-609)
     memory: float = 0.9
+    mem_flag: int = 1  # SdBG builder memory mode (src/megahit:189)
     num_cpu_threads: int = 0  # reference -t; 0 = all logical CPUs
     use_mesh: bool = False  # shard counting over all local devices
     # misc
+    temp_dir: str = ""  # reference --tmp-dir (src/megahit:458-461)
     keep_tmp_files: bool = False
     test_mode: bool = False
     continue_mode: bool = False

@@ -98,3 +98,33 @@ def test_test_mode(tmp_path):
     assert os.path.exists(os.path.join(out, "done"))
     finals = read_contigs(os.path.join(out, "final.contigs.fa"))
     assert len(finals) == 1 and finals[0].length > 5900
+
+
+def test_tmp_dir_version_and_deprecated_flags(tmp_path, capsys):
+    """--tmp-dir roots a megahit_tmp_* dir, resumes into the SAME dir
+    on --continue; -v/--version prints and exits; deprecated flags are
+    accepted with a warning (reference src/megahit:397-413,458-461)."""
+    assert main(["--version"]) == 0
+    assert "megahit_tpu v" in capsys.readouterr().out
+
+    genome = RNG.integers(0, 4, size=1200).astype(np.uint8)
+    p1, p2 = write_pe(genome, str(tmp_path), "t")
+    out = str(tmp_path / "out")
+    troot = str(tmp_path / "troot")
+    args = ["-1", p1, "-2", p2, "-o", out, "--k-list", "21",
+            "--no-local", "--keep-tmp-files", "--tmp-dir", troot,
+            "--mem-flag", "0", "--cpu-only", "--use-gpu"]
+    assert main(args) == 0
+    assert "deprecated" in capsys.readouterr().err
+    tmps = os.listdir(troot)
+    assert len(tmps) == 1 and tmps[0].startswith("megahit_tmp_")
+    assert os.path.isdir(os.path.join(troot, tmps[0], "k21"))
+    # resume reuses the resolved tmp dir instead of minting a new one
+    ck = os.path.join(out, "checkpoints.txt")
+    lines = open(ck).read().splitlines()
+    with open(ck, "w") as fh:
+        fh.write("\n".join(lines[:-1]) + "\n")
+    assert main(args + ["--continue"]) == 0
+    assert os.listdir(troot) == tmps
+    finals = read_contigs(os.path.join(out, "final.contigs.fa"))
+    assert len(finals) == 1
