@@ -113,14 +113,24 @@ def extract_all_kmers(packed: jnp.ndarray, k: int) -> jnp.ndarray:
     return mask_tail(keys, k)
 
 
+def _xp(a):
+    """numpy or jax.numpy, by argument type: the key-surgery helpers
+    below are written once and run on host (numpy in, numpy out - the
+    CPU-backend fast path) or on device (jax arrays / tracers)."""
+    return jnp if isinstance(a, jax.Array) else np
+
+
 def mask_tail(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """Zero the unused low bits of the last word."""
+    xp = _xp(keys)
     w = keys.shape[-1]
     used = k - (w - 1) * BASES_PER_WORD  # bases in last word, in [1,16]
     if used == BASES_PER_WORD:
         return keys
     mask = U32(0xFFFFFFFF) << U32(32 - 2 * used)
-    return keys.at[..., -1].set(keys[..., -1] & mask)
+    return xp.concatenate(
+        [keys[..., :-1], keys[..., -1:] & mask], axis=-1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -141,16 +151,15 @@ def shift_left_bits(keys: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """Left-shift a (N, W) multi-word key by nbits (< 32), cross-word."""
     if nbits == 0:
         return keys
-    w = keys.shape[-1]
+    xp = _xp(keys)
     nb = U32(nbits)
     hi = keys << nb
-    lo_src = jnp.concatenate(
-        [keys[..., 1:], jnp.zeros_like(keys[..., :1])], axis=-1
+    lo_src = xp.concatenate(
+        [keys[..., 1:], xp.zeros_like(keys[..., :1])], axis=-1
     )
     return hi | (lo_src >> (U32(32) - nb))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def revcomp_kmers(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """(N, W) -> reverse complement, same layout.
 
@@ -166,7 +175,6 @@ def revcomp_kmers(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     return mask_tail(out, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def ref_order_keys(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """(N, W) edge keys -> keys whose LEXICOGRAPHIC order equals the
     reference's SdBG edge-id order.
@@ -178,23 +186,26 @@ def ref_order_keys(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     Backward reconstruction; seq_to_sdbg.cpp:630-700 item emission).
     Output layout: reverse(chars[0..k-2]) ++ chars[k-1], left-aligned.
     """
+    xp = _xp(keys)
     node = mask_tail(keys, k - 1)
     # pure base reversal = complement of the reverse complement
     rev_node = mask_tail(~revcomp_kmers(node, k - 1), k - 1)
-    last = get_base(keys, k - 1).astype(jnp.uint32)
+    last = get_base(keys, k - 1).astype(U32)
     widx = (k - 1) // BASES_PER_WORD
     sh = U32(30 - 2 * ((k - 1) % BASES_PER_WORD))
-    out = rev_node.at[..., widx].set(
-        rev_node[..., widx] | (last << sh)
+    col = (rev_node[..., widx] | (last << sh))[..., None]
+    out = xp.concatenate(
+        [rev_node[..., :widx], col, rev_node[..., widx + 1:]], axis=-1
     )
     return mask_tail(out, k)
 
 
 def lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(N, W) < (N, W) lexicographic, word-major. Returns (N,) bool."""
+    xp = _xp(a)
     w = a.shape[-1]
-    lt = jnp.zeros(a.shape[:-1], dtype=bool)
-    eq = jnp.ones(a.shape[:-1], dtype=bool)
+    lt = xp.zeros(a.shape[:-1], dtype=bool)
+    eq = xp.ones(a.shape[:-1], dtype=bool)
     for i in range(w):
         lt = lt | (eq & (a[..., i] < b[..., i]))
         eq = eq & (a[..., i] == b[..., i])
@@ -202,10 +213,9 @@ def lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def lex_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+    return _xp(a).all(a == b, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def canonical_kmers(
     keys: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -215,9 +225,10 @@ def canonical_kmers(
     src/sorting/kmer_counter.cpp:137: the reverse complement is used only
     when strictly smaller.
     """
+    xp = _xp(keys)
     rc = revcomp_kmers(keys, k)
     use_rc = lex_less(rc, keys)
-    out = jnp.where(use_rc[..., None], rc, keys)
+    out = xp.where(use_rc[..., None], rc, keys)
     return out, use_rc
 
 
@@ -235,14 +246,17 @@ def get_base(keys: jnp.ndarray, i: int) -> jnp.ndarray:
 
 def set_base(keys: jnp.ndarray, i: int, c) -> jnp.ndarray:
     """Set base at static position i to c (scalar or (N,) array)."""
+    xp = _xp(keys)
     word = i // BASES_PER_WORD
     sh = U32(30 - 2 * (i % BASES_PER_WORD))
     cleared = keys[..., word] & ~(U32(3) << sh)
-    cval = (jnp.asarray(c).astype(U32) & U32(3)) << sh
-    return keys.at[..., word].set(cleared | cval)
+    cval = (xp.asarray(c).astype(U32) & U32(3)) << sh
+    col = (cleared | cval)[..., None]
+    return xp.concatenate(
+        [keys[..., :word], col, keys[..., word + 1:]], axis=-1
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def drop_first_base(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """keys[1:k] followed by a zero base: left shift by one base."""
     return mask_tail(shift_left_bits(keys, 2), k)
@@ -252,10 +266,11 @@ def shift_right_bits(keys: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """Right-shift a (N, W) multi-word key by nbits (< 32), cross-word."""
     if nbits == 0:
         return keys
+    xp = _xp(keys)
     nb = U32(nbits)
     lo = keys >> nb
-    hi_src = jnp.concatenate(
-        [jnp.zeros_like(keys[..., :1]), keys[..., :-1]], axis=-1
+    hi_src = xp.concatenate(
+        [xp.zeros_like(keys[..., :1]), keys[..., :-1]], axis=-1
     )
     return lo | (hi_src << (U32(32) - nb))
 
@@ -283,8 +298,17 @@ def sort_keys_with_payload(
     src/kmlib/kmsort.h). Unstable: every consumer treats equal keys as
     an unordered group (count/dedup-max/unique), and the unstable
     lowering is ~40% faster on TPU.
+
+    On the CPU backend the sort runs on host instead: XLA-CPU's
+    comparator sort is single-threaded and several times slower than
+    numpy's radix-ish argsort/lexsort for these widths.
     """
     w = keys.shape[-1]
+    if jax.default_backend() == "cpu" and not isinstance(
+            keys, jax.core.Tracer):
+        kn = np.asarray(keys)
+        order = argsort_rows_np(kn)
+        return (kn[order],) + tuple(np.asarray(p)[order] for p in payloads)
     operands = tuple(keys[:, i] for i in range(w)) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=w, is_stable=False)
     sorted_keys = jnp.stack(out[:w], axis=-1)
@@ -372,6 +396,37 @@ def count_sorted_runs_soa(cols, valid):
     counts = jnp.where(head, counts, 0)
     head = head & (counts > 0)
     return head, counts
+
+
+def keys_to_u64_words(keys: np.ndarray) -> np.ndarray:
+    """(N, 2) u32 -> u64 preserving lexicographic word order (host)."""
+    return (keys[:, 0].astype(np.uint64) << np.uint64(32)) \
+        | keys[:, 1].astype(np.uint64)
+
+
+def pack_u64_columns(kn: np.ndarray) -> list[np.ndarray]:
+    """(N, W) u32 -> ceil(W/2) u64 columns with identical lexicographic
+    order (host). Halves the number of np.lexsort passes."""
+    w = kn.shape[-1]
+    cols = []
+    for i in range(0, w - 1, 2):
+        cols.append((kn[:, i].astype(np.uint64) << np.uint64(32))
+                    | kn[:, i + 1].astype(np.uint64))
+    if w % 2:
+        cols.append(kn[:, w - 1].astype(np.uint64) << np.uint64(32))
+    return cols
+
+
+def argsort_rows_np(kn: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort of (N, W) u32 rows on host (unstable
+    between equal rows)."""
+    w = kn.shape[-1]
+    if w == 1:
+        return np.argsort(kn[:, 0])
+    cols = pack_u64_columns(kn)
+    if len(cols) == 1:
+        return np.argsort(cols[0])
+    return np.lexsort(tuple(reversed(cols)))
 
 
 def keys_to_u64(keys: np.ndarray, k: int) -> np.ndarray:

@@ -51,16 +51,17 @@ def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
     Companion to kmerops.extract_all_kmers: marks which of the dense
     all-offset keys are real windows. Built with a +1/-1 range paint.
     """
-    # int32 delta with an int64 accumulate: numpy's int8 cumsum is
-    # pathologically slow (~100x) and even int32->int32 cumsum is ~2x
-    # slower than widening on this host
+    # same-width int32 cumsum: numpy's widening accumulate paths
+    # (int8->, int32->int64) fall off the SIMD fast path and run
+    # 10-25x slower on this host; the running sum is bounded by the
+    # number of overlapping ranges (<= num seqs), so int32 is safe
     delta = np.zeros(n_pos + 1, dtype=np.int32)
     lengths = np.diff(starts)
     s = starts[:-1][lengths >= k]
     e = s + (lengths[lengths >= k] - k + 1)
     np.add.at(delta, s, 1)
     np.add.at(delta, np.minimum(e, n_pos), -1)
-    return np.cumsum(delta[:-1], dtype=np.int64) > 0
+    return np.cumsum(delta[:-1], dtype=np.int32) > 0
 
 
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..core import kmerops, packing
 from ..utils.log import get_logger
-from .counter import KMAX_MUL, pack_flat, window_valid_mask
+from .counter import KMAX_MUL, pack_flat
 
 NULL = np.int32(-1)
 
@@ -169,9 +169,12 @@ def find_next_kmers(
     packed = jnp.asarray(packed_np)
     fkeys = jnp.asarray(index.keys)
 
-    hit_f = np.full(n_bases, NULL, dtype=np.int32)
-    hit_r = np.full(n_bases, NULL, dtype=np.int32)
+    # chunked scan, SPARSE from the start: hits against the (small)
+    # flank index are rare relative to the read pool, so only hit
+    # positions leave the chunk loop and every downstream pass is
+    # over hit rows, never the full base pool
     n_dense = (len(packed_np) - w1) * 16
+    pos_parts, hf_parts, hr_parts = [], [], []
     for lo in range(0, n_bases, chunk_bases):
         hi = min(n_dense, lo + chunk_bases)
         lo_w = lo // 16
@@ -180,14 +183,19 @@ def find_next_kmers(
         hf, hr = _flank_hits(sub, fkeys, k1)
         hf, hr = np.asarray(hf), np.asarray(hr)
         span = min(len(hf), n_bases - lo)
-        hit_f[lo : lo + span] = hf[:span]
-        hit_r[lo : lo + span] = hr[:span]
+        loc = np.flatnonzero((hf[:span] >= 0) | (hr[:span] >= 0))
+        pos_parts.append(loc + lo)
+        hf_parts.append(hf[loc])
+        hr_parts.append(hr[loc])
         if hi >= n_dense:
             break
-
-    valid1 = window_valid_mask(starts, k1, n_bases)
-    hit_f[~valid1] = NULL
-    hit_r[~valid1] = NULL
+    hpos = np.concatenate(pos_parts)
+    hfv = np.concatenate(hf_parts)
+    hrv = np.concatenate(hr_parts)
+    # the (k+1)-window must lie inside one read
+    hrid = np.searchsorted(starts, hpos, side="right") - 1
+    ok = hpos + k1 <= starts[hrid + 1]
+    hpos, hfv, hrv, hrid = hpos[ok], hfv[ok], hrv[ok], hrid[ok]
 
     # NOTE on multiplicity: the reference's flank index never stores
     # the contig mul it is handed (contig_flank_index.h:64 constructs
@@ -198,89 +206,101 @@ def find_next_kmers(
     # junction edges carry mul 0 into seq2sdbg (verified against a
     # reference 41.edges.0 dump - all 305 muls were 0).
 
-    lengths = np.diff(starts)
-    read_start_at = np.repeat(starts[:-1], lengths)
-    read_end_at = np.repeat(starts[1:], lengths)
+    read_start_h = starts[hrid]
+    read_end_h = starts[hrid + 1]
 
-    # forward-extension match length per fwd hit: m(p) = number of
+    # forward-extension match length per fwd-hit row: m = number of
     # consecutive read bases at p+k1+j equal to the flank's ext base j
-    fpos0 = np.flatnonzero(hit_f >= 0)
-    rpos0 = np.flatnonzero(hit_r >= 0)
-    m_fwd = np.zeros(n_bases, dtype=np.int32)
-    src = fpos0
+    n_hits = len(hpos)
+    m_fwd = np.zeros(n_hits, dtype=np.int32)
+    rows = np.flatnonzero(hfv >= 0)
     for j in range(step - 1):
-        src = src[src + k1 + j < read_end_at[src]]
-        if len(src) == 0:
+        rows = rows[hpos[rows] + k1 + j < read_end_h[rows]]
+        if len(rows) == 0:
             break
-        h = hit_f[src]
-        src = src[(flat_codes[src + k1 + j] == index.ext_bases[h, j])
-                  & (j < index.ext_len[h])]
-        m_fwd[src] = j + 1
+        h = hfv[rows]
+        rows = rows[
+            (flat_codes[hpos[rows] + k1 + j] == index.ext_bases[h, j])
+            & (j < index.ext_len[h])
+        ]
+        m_fwd[rows] = j + 1
 
     # the reference scans each read LEFT-TO-RIGHT and skips lookups at
     # positions covered by an earlier forward extension (next_pos
     # advances past matched bases, contig_flank_index.h:113-170); a
     # skipped position's own extensions never run. Emulate the greedy
     # cover exactly: a hit is PERFORMED iff its position is not inside
-    # a previously-performed hit's forward-extension jump.
-    hits = np.flatnonzero((hit_f >= 0) | (hit_r >= 0))
-    performed = np.zeros(n_bases, dtype=bool)
+    # a previously-performed hit's forward-extension jump. (hpos is
+    # ascending, so this is a linear pass over the sparse hit rows.)
+    performed = np.zeros(n_hits, dtype=bool)
     skip_until = -1
-    for p in hits:
-        if read_start_at[p] > skip_until:
+    for r, (p, rs, hf, m) in enumerate(zip(
+        hpos.tolist(), read_start_h.tolist(),
+        (hfv >= 0).tolist(), m_fwd.tolist(),
+    )):
+        if rs > skip_until:
             skip_until = -1  # new read resets the jump
         if p <= skip_until:
             continue
-        performed[p] = True
-        if hit_f[p] >= 0:
-            skip_until = p + m_fwd[p]
+        performed[r] = True
+        if hf:
+            skip_until = p + m
 
-    exist = np.zeros(n_bases, dtype=bool)
+    # marked positions (sparse): performed hits + their extension
+    # targets (forward: p+1..p+m; rc: p-1-j for matched prefix bases)
+    mark_parts = [hpos[performed]]
+    frows0 = np.flatnonzero((hfv >= 0) & performed)
+    rrows0 = np.flatnonzero((hrv >= 0) & performed)
 
-    def contribute(pos):
-        exist[pos] = True
-
-    fpos0 = np.flatnonzero((hit_f >= 0) & performed)
-    rpos0 = np.flatnonzero((hit_r >= 0) & performed)
-    contribute(fpos0)
-    contribute(rpos0)
-
-    # forward extensions mark p+1..p+m (performed hits only)
-    src = fpos0
+    rows = frows0
     for j in range(step - 1):
-        src = src[src + k1 + j < read_end_at[src]]
-        if len(src) == 0:
+        rows = rows[hpos[rows] + k1 + j < read_end_h[rows]]
+        if len(rows) == 0:
             break
-        h = hit_f[src]
-        src = src[(flat_codes[src + k1 + j] == index.ext_bases[h, j])
-                  & (j < index.ext_len[h])]
-        tgt = src + j + 1
-        ok = valid1[tgt]
-        contribute(tgt[ok])
+        h = hfv[rows]
+        rows = rows[
+            (flat_codes[hpos[rows] + k1 + j] == index.ext_bases[h, j])
+            & (j < index.ext_len[h])
+        ]
+        tgt = hpos[rows] + j + 1
+        mark_parts.append(tgt[tgt + k1 <= read_end_h[rows]])
 
-    # rc extensions mark p-1-j backwards (performed hits only)
-    src = rpos0
+    rows = rrows0
     for j in range(step - 1):
-        src = src[src - 1 - j >= read_start_at[src]]
-        if len(src) == 0:
+        rows = rows[hpos[rows] - 1 - j >= read_start_h[rows]]
+        if len(rows) == 0:
             break
-        h = hit_r[src]
-        src = src[((3 - flat_codes[src - 1 - j]) == index.ext_bases[h, j])
-                  & (j < index.ext_len[h])]
-        tgt = src - 1 - j
-        ok = valid1[tgt]
-        contribute(tgt[ok])
+        h = hrv[rows]
+        rows = rows[
+            ((3 - flat_codes[hpos[rows] - 1 - j]) == index.ext_bases[h, j])
+            & (j < index.ext_len[h])
+        ]
+        mark_parts.append(hpos[rows] - 1 - j)
 
-    idxs = np.arange(n_bases)
+    marks = np.unique(np.concatenate(mark_parts))
+    if len(marks) == 0:
+        return (np.zeros((0, w2), np.uint32), np.zeros(0, np.int32))
 
     # runs of step+1 consecutive marked positions -> emit the read's
-    # (k+step+1)-mer covering the run
-    cnt = np.concatenate([[0], np.cumsum(exist.astype(np.int64))])
-    a = idxs[: n_bases - step] if n_bases > step else np.zeros(0, np.int64)
-    full_run = (cnt[a + step + 1] - cnt[a]) == step + 1
-    valid2 = window_valid_mask(starts, k2, n_bases)
-    emit = full_run & valid2[a]
-    a_list = a[emit]
+    # (k+step+1)-mer at every window covering a full run stretch
+    brk = np.flatnonzero(
+        np.concatenate([[True], np.diff(marks) != 1])
+    )
+    run_s = marks[brk]
+    run_e = marks[np.concatenate([brk[1:] - 1, [len(marks) - 1]])]
+    n_win = run_e - run_s - step + 1  # windows [s, e-step]
+    keep = n_win > 0
+    run_s, n_win = run_s[keep], n_win[keep]
+    if len(run_s) == 0:
+        return (np.zeros((0, w2), np.uint32), np.zeros(0, np.int32))
+    total = int(n_win.sum())
+    a_list = np.repeat(run_s, n_win) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    )
+    # the emitted (k2)-window must lie inside one read
+    arid = np.searchsorted(starts, a_list, side="right") - 1
+    a_list = a_list[a_list + k2 <= starts[arid + 1]]
     if len(a_list) == 0:
         return (np.zeros((0, w2), np.uint32), np.zeros(0, np.int32))
     mul_list = np.zeros(len(a_list), dtype=np.int32)

@@ -59,11 +59,13 @@ def _neighbor_flags(packed, solid_keys, k, k1):
 
 
 def _node_sets_u64(solid_keys: np.ndarray, k1: int):
-    """Sorted u64 sets of the k-prefixes and k-suffixes of both strands
-    of the solid edge set. has_out(kmer) == kmer in prefixes (some
-    solid edge starts with it); has_in(kmer) == kmer in suffixes. This
-    replaces 8 canonical candidate queries per position with 2 direct
-    memberships - and the queries need no canonicalization at all."""
+    """Union table of the k-prefixes and k-suffixes of both strands of
+    the solid edge set, with a per-row 2-bit flag (1 = prefix, 2 =
+    suffix). has_out(kmer) == flag bit 1 (some solid edge starts with
+    it); has_in(kmer) == flag bit 2. ONE binary search + one flag
+    gather per query replaces both the 8-canonical-candidate scheme
+    and separate prefix/suffix searches - and the queries need no
+    canonicalization at all."""
     import jax.numpy as jnp
 
     k = k1 - 1
@@ -73,12 +75,40 @@ def _node_sets_u64(solid_keys: np.ndarray, k1: int):
     suffixes = kmerops.mask_tail(kmerops.drop_first_base(both, k1), k)
     p = np.unique(kmerops.keys_to_u64(np.asarray(prefixes), k))
     s = np.unique(kmerops.keys_to_u64(np.asarray(suffixes), k))
-    return p, s
+    table = np.unique(np.concatenate([p, s]))
+    flags = np.zeros(len(table), dtype=np.uint8)
+    flags[np.searchsorted(table, p)] |= 1
+    flags[np.searchsorted(table, s)] |= 2
+    return table, flags
 
 
-def _member_mt(table: np.ndarray, q: np.ndarray, pool) -> np.ndarray:
-    _, found = kmerops.member_sorted_mt(table, q, pool)
-    return found
+def _flags_mt(table: np.ndarray, flags: np.ndarray, q: np.ndarray,
+              pool) -> np.ndarray:
+    """Per-query node flags: flags[idx] where table[idx] == q, else 0
+    (multithreaded over query slices)."""
+    n = len(q)
+    out = np.zeros(n, dtype=np.uint8)
+    if len(table) == 0 or n == 0:
+        return out
+
+    def one(sl):
+        i = np.searchsorted(table, q[sl])
+        i = np.minimum(i, len(table) - 1)
+        return sl, np.where(table[i] == q[sl], flags[i], 0)
+
+    from ..utils.threads import num_threads
+
+    parts = max(1, min(8, num_threads(), n // (1 << 18)))
+    if parts == 1 or pool is None:
+        sl = slice(0, n)
+        _, out[sl] = one(sl)
+        return out
+    step = -(-n // parts)
+    for sl, f in pool.map(
+        one, [slice(a, min(n, a + step)) for a in range(0, n, step)]
+    ):
+        out[sl] = f
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -98,7 +128,7 @@ def _flags_host_u64(
     membership in the prefix/suffix node sets."""
     from concurrent.futures import ThreadPoolExecutor
 
-    pset, sset = _node_sets_u64(solid_keys, k1)
+    table, tflags = _node_sets_u64(solid_keys, k1)
     w = kmerops.words_per_kmer(k1)
     has_in = np.zeros(n_bases, dtype=bool)
     has_out = np.zeros(n_bases, dtype=bool)
@@ -114,9 +144,9 @@ def _flags_host_u64(
             pairs = np.ascontiguousarray(_extract_u64le(sub, k))
             u = pairs.view(np.uint64).ravel()
             span = min(min(hi, n_bases) - lo, len(u))
-            q = u[:span]
-            has_out[lo : lo + span] = _member_mt(pset, q, pool)
-            has_in[lo : lo + span] = _member_mt(sset, q, pool)
+            f = _flags_mt(table, tflags, u[:span], pool)
+            has_out[lo : lo + span] = (f & 1) != 0
+            has_in[lo : lo + span] = (f & 2) != 0
             if hi >= n_dense:
                 break
     return has_in, has_out
@@ -204,38 +234,30 @@ def find_mercy_edges(
     if len(a_list) == 0:
         return np.zeros((0, w), dtype=np.uint32)
 
-    delta = np.zeros(n_bases + 1, dtype=np.int32)
-    np.add.at(delta, a_list, 1)
-    np.add.at(delta, b_list, -1)
-    mercy_mask = np.cumsum(delta[:-1], dtype=np.int64) > 0
+    # emit window positions SPARSELY (gaps are rare; no dense mask, no
+    # second full-pool extraction pass): ranges [a, b) unrolled via the
+    # repeat + within-group-arange trick
+    seg = (b_list - a_list).astype(np.int64)
+    total = int(seg.sum())
+    if total == 0:
+        return np.zeros((0, w), dtype=np.uint32)
+    pos = np.repeat(a_list, seg) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(seg) - seg, seg)
+    )
     # a mercy window must itself be a full (k1)-window of its read
-    mercy_mask &= window_valid_mask(starts, k1, n_bases)
-    n_mercy_windows = int(mercy_mask.sum())
+    rid = np.searchsorted(starts, pos, side="right") - 1
+    pos = pos[pos + k1 <= starts[rid + 1]]
+    n_mercy_windows = len(pos)
     if n_mercy_windows == 0:
         return np.zeros((0, w), dtype=np.uint32)
 
-    # gather + canonicalize the mercy (k1)-mers; chunks without any
-    # mercy window skip extraction entirely (gaps are rare)
-    out = []
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        span = min(min(hi, n_bases) - lo, (size - w) * 16)
-        mm = mercy_mask[lo : lo + span]
-        if not mm.any():
-            if hi >= n_dense:
-                break
-            continue
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        keys = kmerops.extract_all_kmers(sub, k1)
-        canon, _ = kmerops.canonical_kmers(keys, k1)
-        canon = np.asarray(canon)
-        # truncate to [lo, hi): chunks must not overlap
-        out.append(canon[:span][mm[: len(canon)]])
-        if hi >= n_dense:
-            break
-    mercy = np.concatenate(out, axis=0)
+    # targeted gather + canonicalize of just the mercy (k1)-mers
+    keys = kmerops.extract_kmers(
+        packed, jnp.asarray(pos.astype(np.int32)), k1
+    )
+    canon, _ = kmerops.canonical_kmers(keys, k1)
+    mercy = np.asarray(canon)
     mercy = np.unique(mercy, axis=0)
     log.info(
         "mercy: %d gap windows -> %d distinct mercy edges",

@@ -42,6 +42,13 @@ from .counter import KMAX_MUL, _pow2_pad, pack_flat
 
 NULL = np.int32(-1)
 
+def _dev(a):
+    """jnp view for device backends; raw numpy on the CPU backend so
+    the dual-path helpers (kmerops key surgery, sort_keys_with_payload,
+    _neighbor_tables) run on host without per-op XLA dispatch."""
+    return a if jax.default_backend() == "cpu" else jnp.asarray(a)
+
+
 
 class Sdbg:
     """See module docstring for the representation.
@@ -81,7 +88,7 @@ class Sdbg:
             self._oc_s, self._ic_s = z4.copy(), z4.copy()
             return
         rc, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
-            jnp.asarray(self.keys[:e]), self.k
+            _dev(self.keys[:e]), self.k
         )
         padn = cap - e
 
@@ -138,18 +145,31 @@ class Sdbg:
         resolved here by ref_rank. Computed lazily, cached; invalid
         rows rank after all valid rows."""
         if getattr(self, "_ref_rank", None) is None:
-            rot = kmerops.ref_order_keys(
-                jnp.asarray(self.keys), self.k
-            )
-            inval = jnp.asarray(~self.valid).astype(jnp.uint32)
             n = self.size
-            ops = (inval,) + tuple(
-                rot[:, i] for i in range(rot.shape[1])
-            ) + (jnp.arange(n, dtype=jnp.int32),)
-            out = jax.lax.sort(
-                ops, num_keys=len(ops) - 1, is_stable=False
-            )
-            perm = np.asarray(out[-1])
+            if jax.default_backend() == "cpu":
+                rot = kmerops.ref_order_keys(self.keys, self.k)
+                cols = kmerops.pack_u64_columns(rot)
+                # invalid rows must rank after all valid ones: force
+                # their primary column to the max sentinel (real keys
+                # can collide with it only at k = 16*W exactly, where
+                # relative order vs invalid rows is irrelevant to the
+                # valid-edge tie-breaks ref_rank serves)
+                cols[0] = np.where(self.valid, cols[0],
+                                   np.uint64(0xFFFFFFFFFFFFFFFF))
+                perm = np.argsort(cols[0]) if len(cols) == 1 else \
+                    np.lexsort(tuple(reversed(cols)))
+            else:
+                rot = kmerops.ref_order_keys(
+                    jnp.asarray(self.keys), self.k
+                )
+                inval = jnp.asarray(~self.valid).astype(jnp.uint32)
+                ops = (inval,) + tuple(
+                    rot[:, i] for i in range(rot.shape[1])
+                ) + (jnp.arange(n, dtype=jnp.int32),)
+                out = jax.lax.sort(
+                    ops, num_keys=len(ops) - 1, is_stable=False
+                )
+                perm = np.asarray(out[-1])
             rank = np.empty(n, dtype=np.int32)
             rank[perm] = np.arange(n, dtype=np.int32)
             self._ref_rank = rank
@@ -279,53 +299,75 @@ def _neighbor_tables(keys, k, n_group_words: int = 0):
     per-group subgraphs, see localasm.mini_asm); node/rc joins match
     only within a group.
     """
+    xp = jnp if isinstance(keys, jax.Array) else np
+    on_host = xp is np
     e = keys.shape[0]
     g = keys[:, :n_group_words]
     kk = keys[:, n_group_words:]
-    idx = jnp.arange(e, dtype=jnp.int32)
+    idx = xp.arange(e, dtype=xp.int32)
 
     prefix = kmerops.mask_tail(kk, k - 1)
     suffix = kmerops.mask_tail(kmerops.drop_first_base(kk, k), k - 1)
-    first = kmerops.get_base(kk, 0).astype(jnp.int32)
-    last = kmerops.get_base(kk, k - 1).astype(jnp.int32)
+    first = kmerops.get_base(kk, 0).astype(xp.int32)
+    last = kmerops.get_base(kk, k - 1).astype(xp.int32)
 
     def with_group(part):
-        return jnp.concatenate([g, part], axis=1) if n_group_words \
+        return xp.concatenate([g, part], axis=1) if n_group_words \
             else part
 
-    node = jnp.concatenate(
+    node = xp.concatenate(
         [with_group(prefix), with_group(suffix)], axis=0
     )
-    kind = jnp.concatenate([jnp.zeros(e, jnp.int32),
-                            jnp.ones(e, jnp.int32)])
-    base = jnp.concatenate([last, first])
-    eid = jnp.concatenate([idx, idx])
+    kind = xp.concatenate([xp.zeros(e, xp.int32),
+                           xp.ones(e, xp.int32)])
+    base = xp.concatenate([last, first])
+    eid = xp.concatenate([idx, idx])
 
     snode, skind, sbase, seid = kmerops.sort_keys_with_payload(
         node, kind, base, eid
     )
-    prev = jnp.concatenate([snode[:1], snode[:-1]], axis=0)
-    head = jnp.any(snode != prev, axis=-1).at[0].set(True)
-    node_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # < 2E
+    if on_host:
+        head = np.ones(2 * e, dtype=bool)
+        head[1:] = (snode[1:] != snode[:-1]).any(axis=-1)
+        node_id = np.cumsum(head.astype(np.int32),
+                            dtype=np.int32) - 1
 
-    # per-node out/in tables; scatter positions (node, base) are unique
-    # because edge = node+c (resp. c+node) is unique
-    flat_cap = 2 * e * 4
-    pos = node_id * 4 + sbase
-    out_pos = jnp.where(skind == 0, pos, flat_cap)
-    in_pos = jnp.where(skind == 1, pos, flat_cap)
-    node_out = jnp.full(flat_cap + 1, NULL, jnp.int32) \
-        .at[out_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
-    node_in = jnp.full(flat_cap + 1, NULL, jnp.int32) \
-        .at[in_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
+        def scatter(n_slots, pos, val, sel):
+            outv = np.full(n_slots, NULL, np.int32)
+            outv[pos[sel]] = val[sel]
+            return outv
 
-    # per-edge node ids (scatter node_id back through the row's edge)
-    pfx_id = jnp.zeros(e, jnp.int32).at[
-        jnp.where(skind == 0, seid, e)
-    ].set(node_id, mode="drop")
-    sfx_id = jnp.zeros(e, jnp.int32).at[
-        jnp.where(skind == 1, seid, e)
-    ].set(node_id, mode="drop")
+        pos = node_id * 4 + sbase
+        node_out = scatter(2 * e * 4, pos, seid,
+                           skind == 0).reshape(2 * e, 4)
+        node_in = scatter(2 * e * 4, pos, seid,
+                          skind == 1).reshape(2 * e, 4)
+        pfx_id = scatter(e, seid, node_id, skind == 0)
+        sfx_id = scatter(e, seid, node_id, skind == 1)
+    else:
+        prev = jnp.concatenate([snode[:1], snode[:-1]], axis=0)
+        head = jnp.any(snode != prev, axis=-1).at[0].set(True)
+        node_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # < 2E
+
+        # per-node out/in tables; scatter positions (node, base) are
+        # unique because edge = node+c (resp. c+node) is unique
+        flat_cap = 2 * e * 4
+        pos = node_id * 4 + sbase
+        out_pos = jnp.where(skind == 0, pos, flat_cap)
+        in_pos = jnp.where(skind == 1, pos, flat_cap)
+        node_out = jnp.full(flat_cap + 1, NULL, jnp.int32) \
+            .at[out_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
+        node_in = jnp.full(flat_cap + 1, NULL, jnp.int32) \
+            .at[in_pos].set(seid, mode="drop")[:-1].reshape(2 * e, 4)
+
+        # per-edge node ids (scatter node_id back through the row's
+        # edge)
+        pfx_id = jnp.zeros(e, jnp.int32).at[
+            jnp.where(skind == 0, seid, e)
+        ].set(node_id, mode="drop")
+        sfx_id = jnp.zeros(e, jnp.int32).at[
+            jnp.where(skind == 1, seid, e)
+        ].set(node_id, mode="drop")
 
     oc_t = node_out[sfx_id]
     ic_t = node_in[sfx_id]
@@ -335,23 +377,28 @@ def _neighbor_tables(keys, k, n_group_words: int = 0):
     # rc: sort-join edges with their reverse complements (tag in the
     # key so each group's fwd row precedes its rc row even unstably)
     rc_kk = kmerops.revcomp_kmers(kk, k)
-    pair_keys = jnp.concatenate(
+    pair_keys = xp.concatenate(
         [with_group(kk), with_group(rc_kk)], axis=0
     )
-    tag = jnp.concatenate([jnp.zeros(e, jnp.uint32),
-                           jnp.ones(e, jnp.uint32)])
-    pair_full = jnp.concatenate([pair_keys, tag[:, None]], axis=1)
+    tag = xp.concatenate([xp.zeros(e, xp.uint32),
+                          xp.ones(e, xp.uint32)])
+    pair_full = xp.concatenate([pair_keys, tag[:, None]], axis=1)
     _, pidx = kmerops.sort_keys_with_payload(
-        pair_full, jnp.concatenate([idx, idx])
+        pair_full, xp.concatenate([idx, idx])
     )
     a = pidx[0::2]
     b = pidx[1::2]
-    rc_idx = jnp.zeros(e, jnp.int32).at[a].set(b).at[b].set(a)
+    if on_host:
+        rc_idx = np.zeros(e, np.int32)
+        rc_idx[a] = b
+        rc_idx[b] = a
+    else:
+        rc_idx = jnp.zeros(e, jnp.int32).at[a].set(b).at[b].set(a)
     return rc_idx, oc_t, ic_t, oc_s, ic_s
 
 
 @jax.jit
-def _dedup_sorted_max(skeys, smult):
+def _dedup_sorted_max_dev(skeys, smult):
     """head mask + per-group max multiplicity scattered to head rows."""
     n = skeys.shape[0]
     prev = jnp.concatenate([skeys[:1], skeys[:-1]], axis=0)
@@ -359,6 +406,22 @@ def _dedup_sorted_max(skeys, smult):
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
     gmax = jax.ops.segment_max(smult, seg, num_segments=n)
     return head, gmax[seg] * head
+
+
+def _dedup_sorted_max(skeys, smult):
+    """Dispatch: host reduceat on numpy inputs (CPU backend), jitted
+    segment-max otherwise. Same contract: (head mask, per-group max
+    at head rows, 0 elsewhere)."""
+    if not isinstance(skeys, jax.Array):
+        n = len(skeys)
+        head = np.ones(n, dtype=bool)
+        head[1:] = (skeys[1:] != skeys[:-1]).any(axis=-1)
+        hrows = np.flatnonzero(head)
+        gmax = np.maximum.reduceat(smult, hrows)
+        out = np.zeros(n, smult.dtype)
+        out[hrows] = gmax
+        return head, out
+    return _dedup_sorted_max_dev(skeys, smult)
 
 
 def build_sdbg(
@@ -477,7 +540,7 @@ def sdbg_from_edges(
         return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
                     np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
                     z4.copy(), np.zeros(0, bool))
-    rc = np.asarray(kmerops.revcomp_kmers(jnp.asarray(keys), k))
+    rc = np.asarray(kmerops.revcomp_kmers(_dev(keys), k))
     both = np.concatenate([keys, rc], axis=0)
     mults = np.concatenate([edge_mults, edge_mults]).astype(np.int32)
     return _finalize_sdbg(both, mults, k, n_windows=n)
@@ -490,7 +553,10 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     log = get_logger()
     w = kmerops.words_per_kmer(k)
     total = len(keys)
-    npad = _pow2_pad(total)
+    # pow2 padding exists to stabilize device sort shapes (one compile
+    # per bucket); the CPU backend sorts on host, where padding is
+    # pure extra work
+    npad = total if jax.default_backend() == "cpu" else _pow2_pad(total)
     if npad > total:
         keys = np.concatenate(
             [keys, np.full((npad - total, w), 0xFFFFFFFF, np.uint32)], axis=0
@@ -500,7 +566,7 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
         )
 
     skeys, smult = kmerops.sort_keys_with_payload(
-        jnp.asarray(keys), jnp.asarray(mults)
+        _dev(keys), _dev(mults)
     )
     head, gmult = _dedup_sorted_max(skeys, smult)
     skeys, head, gmult = np.asarray(skeys), np.asarray(head), np.asarray(gmult)
@@ -514,7 +580,7 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
 
     rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
-        jnp.asarray(edges), k
+        _dev(edges), k
     )
     sdbg = _make_sdbg(
         edges, mult, np.asarray(rc_idx), np.asarray(oc_t),
@@ -535,7 +601,7 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
     if e:
         sample = np.arange(0, e, max(1, e // 1024))
         rc_sample = np.asarray(
-            kmerops.revcomp_kmers(jnp.asarray(edges[sample]), k)
+            kmerops.revcomp_kmers(_dev(edges[sample]), k)
         )
         assert (edges[rc_idx[sample]] == rc_sample).all(), \
             "edge set must be closed under revcomp"

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core import kmerops, packing
 from ..utils.log import get_logger
-from ..graph.counter import pack_flat, window_valid_mask
+from ..graph.counter import pack_flat
 
 SEED_K = 31
 NULL = np.int32(-1)
@@ -51,34 +51,34 @@ def build_seed_index(
     marks them with the top bit and ignores hits,
     hash_mapper.cpp:84-99)."""
     w = kmerops.words_per_kmer(seed_k)
-    rows_k, rows_c, rows_o = [], [], []
+    lens = np.array([len(c) for c in contigs], dtype=np.int64)
+    pos_parts, cid_parts, off_parts = [], [], []
+    base = 0
     for cid, codes in enumerate(contigs):
         L = len(codes)
-        if L < seed_k:
-            continue
-        offs = np.arange(0, L - seed_k + 1, sparsity, dtype=np.int64)
-        for o in offs:
-            rows_k.append(codes[o : o + seed_k])
-            rows_c.append(cid)
-            rows_o.append(o)
-    lens = np.array([len(c) for c in contigs], dtype=np.int64)
-    if not rows_k:
+        if L >= seed_k:
+            offs = np.arange(0, L - seed_k + 1, sparsity, dtype=np.int64)
+            off_parts.append(offs)
+            pos_parts.append(base + offs)
+            cid_parts.append(np.full(len(offs), cid, np.int32))
+        base += L
+    if not pos_parts:
         return SeedIndex(np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
                          np.zeros(0, np.int64), np.zeros(0, np.int8),
                          contigs, lens)
-    flat, starts = packing.pack_many([np.concatenate(rows_k)])
-    n = len(rows_k)
+    flat, _ = packing.pack_many(contigs)
+    n = sum(map(len, pos_parts))
     packed = pack_flat(flat)
     packed = np.concatenate([packed, np.zeros(w + 1, np.uint32)])
-    pos = (np.arange(n, dtype=np.int64) * seed_k).astype(np.int32)
+    pos = np.concatenate(pos_parts).astype(np.int32)
     keys = np.asarray(
         kmerops.extract_kmers(jnp.asarray(packed), jnp.asarray(pos), seed_k)
     )
     canon, is_rc = kmerops.canonical_kmers(jnp.asarray(keys), seed_k)
     canon, is_rc = np.asarray(canon), np.asarray(is_rc)
 
-    cids = np.array(rows_c, dtype=np.int32)
-    offs = np.array(rows_o, dtype=np.int64)
+    cids = np.concatenate(cid_parts)
+    offs = np.concatenate(off_parts)
     order = np.lexsort(tuple(canon[:, i] for i in range(w - 1, -1, -1)))
     canon, is_rc, cids, offs = (
         canon[order], is_rc[order], cids[order], offs[order]
@@ -118,6 +118,30 @@ def _seed_canon(packed, seed_k):
     return kmerops.canonical_kmers(kmers, seed_k)
 
 
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _score_spans(qpacked, cpacked, qpos, cpos, span, kmax):
+    """Exact-match count over aligned spans, on 2-bit packed words.
+
+    Replaces the reference's byte-wise Match loop (hash_mapper.cpp:
+    103-133) with a word-level xor + 2-bit popcount: per candidate,
+    ~kmax/16 u32 ops instead of kmax byte compares. span masks the
+    tail (left-aligned big-endian 2-bit layout, 16 bases/word)."""
+    qw = kmerops.extract_kmers(qpacked, qpos, kmax)  # (N, W)
+    cw = kmerops.extract_kmers(cpacked, cpos, kmax)
+    x = qw ^ cw
+    diff = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+    w = qw.shape[1]
+    j16 = jnp.arange(w, dtype=jnp.int32) * 16
+    b = jnp.clip(span[:, None] - j16[None, :], 0, 16)  # bases in word
+    sh = jnp.minimum(32 - 2 * b, 31).astype(jnp.uint32)
+    mask = jnp.where(b == 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF) << sh)
+    mism = jax.lax.population_count(diff & mask).sum(
+        axis=1, dtype=jnp.int32
+    )
+    return span - mism
+
+
 def map_reads(
     flat_codes: np.ndarray,
     starts: np.ndarray,
@@ -149,9 +173,11 @@ def map_reads(
     # (device searchsorted costs log(S) random gathers per position)
     ikeys_u64 = kmerops.keys_to_u64(index.keys, seed_k)
 
-    hit = np.full(n_bases, NULL, dtype=np.int32)
-    qrc = np.zeros(n_bases, dtype=bool)
+    # chunked scan, SPARSE from the start: only hit positions survive
+    # the chunk loop (hits are ~10% of positions on typical data), so
+    # every downstream pass is over hit rows, never the full base pool
     n_dense = (len(packed_np) - w) * 16
+    sel_parts, h_parts, qrc_parts = [], [], []
     from concurrent.futures import ThreadPoolExecutor
 
     from ..utils.threads import num_threads
@@ -167,29 +193,30 @@ def map_reads(
             span = min(min(hi, n_bases) - lo, len(canon))
             q = kmerops.keys_to_u64(canon[:span], seed_k)
             pos, found = kmerops.member_sorted_mt(ikeys_u64, q, pool)
-            hit[lo : lo + span] = np.where(found, pos, NULL)
-            qrc[lo : lo + span] = is_rc[:span]
+            loc = np.flatnonzero(found)
+            sel_parts.append(loc + lo)
+            h_parts.append(pos[loc].astype(np.int32))
+            qrc_parts.append(is_rc[loc])
             if hi >= n_dense:
                 break
-    valid = window_valid_mask(starts, seed_k, n_bases)
-    hit[~valid] = NULL
+    sel = np.concatenate(sel_parts)
+    h = np.concatenate(h_parts)
+    qrc_h = np.concatenate(qrc_parts)
 
     lengths = np.diff(starts)
-    read_of = np.repeat(np.arange(n_reads), lengths)
-    rstart_of = np.repeat(starts[:-1], lengths)
-
-    sel = np.flatnonzero(hit >= 0)
-    # reads shorter than max(seed_k, 50) are unreliable (TryMap:140)
-    sel = sel[lengths[read_of[sel]] >= max(seed_k, 50)]
+    rid = np.searchsorted(starts, sel, side="right") - 1
+    # window must lie inside one read; reads shorter than
+    # max(seed_k, 50) are unreliable (TryMap:140)
+    ok = (sel + seed_k <= starts[rid + 1]) & \
+        (lengths[rid] >= max(seed_k, 50))
+    sel, h, qrc_h, rid = sel[ok], h[ok], qrc_h[ok], rid[ok]
     if len(sel) == 0:
         return out
-    h = hit[sel]
-    rid = read_of[sel]
     rlen = lengths[rid]
     # seed END position within the read (reference i)
-    i = (sel - rstart_of[sel]) + seed_k - 1
+    i = (sel - starts[rid]) + seed_k - 1
     cstrand = index.strand[h].astype(np.int64)
-    qstrand = qrc[sel].astype(np.int64)
+    qstrand = qrc_h.astype(np.int64)
     mstrand = cstrand ^ qstrand
     coff = index.offset[h]
     cid = index.contig_id[h].astype(np.int64)
@@ -228,25 +255,45 @@ def map_reads(
     if n_cand == 0:
         return out
 
-    # score: exact base matches over the aligned span (vectorized over
-    # candidates x positions; reference Match, hash_mapper.cpp:103-133)
-    max_alen = int((qto - qfrom + 1).max())
-    j = np.arange(max_alen)
-    qpos = starts[rid][:, None] + qfrom[:, None] + j[None, :]
-    in_span = j[None, :] <= (qto - qfrom)[:, None]
-    qpos = np.minimum(qpos, n_bases - 1)
-    qb = flat_codes[qpos]
-    # reference base at the same alignment column
-    contig_flat, contig_starts = packing.pack_many(index.contigs) \
-        if index.contigs else (np.zeros(0, np.uint8), np.zeros(1, np.int64))
-    cpos_fwd = contig_starts[cid][:, None] + cfrom[:, None] + j[None, :]
-    cpos_rc = contig_starts[cid][:, None] + cto[:, None] - j[None, :]
-    cpos = np.where(mstrand[:, None] == 0, cpos_fwd, cpos_rc)
-    cpos = np.clip(cpos, 0, len(contig_flat) - 1)
-    cb = contig_flat[cpos]
-    cb = np.where(mstrand[:, None] == 1, 3 - cb, cb)
-    matches = ((qb == cb) & in_span).sum(axis=1)
+    # score: exact base matches over the aligned span, packed-word
+    # xor + popcount on device (reference Match, hash_mapper.cpp:
+    # 103-133). Minus-strand spans read forward from an rc-packed
+    # contig pool (contig[cfrom..cto] reversed-complemented starts at
+    # rc-coordinate clen-1-cto).
     span_len = qto - qfrom + 1
+    kmax = int(lengths.max())
+    wk = kmerops.words_per_kmer(kmax)
+    contig_flat, contig_starts = packing.pack_many(index.contigs)
+    rc_flat, rc_starts = packing.pack_many(
+        [packing.revcomp_codes(c) for c in index.contigs]
+    )
+    cpacked = np.concatenate(
+        [pack_flat(contig_flat), pack_flat(rc_flat),
+         np.zeros(wk + 1, np.uint32)]
+    )
+    rc_word_base = (len(contig_flat) + 15) // 16 * 16  # rc pool offset
+    clen_c = index.contig_lens[cid]
+    cpos_g = np.where(
+        mstrand == 0,
+        contig_starts[cid] + cfrom,
+        rc_word_base + rc_starts[cid] + (clen_c - 1 - cto),
+    )
+    qpos_g = starts[rid] + qfrom
+    qpacked = np.concatenate([packed_np, np.zeros(wk + 1, np.uint32)])
+    # pow2 capacity padding: one compile per size bucket
+    cap = max(16, 1 << int(np.ceil(np.log2(n_cand))))
+    pad = cap - n_cand
+
+    def padded(a):
+        return np.concatenate([a, np.zeros(pad, a.dtype)]).astype(
+            np.int32
+        )
+
+    matches = np.asarray(_score_spans(
+        jnp.asarray(qpacked), jnp.asarray(cpacked),
+        jnp.asarray(padded(qpos_g)), jnp.asarray(padded(cpos_g)),
+        jnp.asarray(padded(span_len)), kmax,
+    ))[:n_cand].astype(np.int64)
     threshold = np.round(similarity * span_len).astype(np.int64)
     matches = np.where(matches >= threshold, matches, 0)
 

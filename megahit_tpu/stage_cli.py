@@ -264,9 +264,19 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
-    if args.platform == "cpu":
-        import jax
+    import os
 
+    import jax
+
+    # persistent compile cache (same as the pipeline driver): stage
+    # invocations would otherwise pay tens of seconds of XLA compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MEGAHIT_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/megahit_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
