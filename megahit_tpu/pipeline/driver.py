@@ -384,7 +384,10 @@ class Pipeline:
         n_window_rows = 2 * sum(max(len(s) - km + 1, 0) for s in seqs)
         est_rows = n_window_rows + 2 * n_edge_inputs
         budget_rows = self._budget_rows(words_per_kmer(km))
-        if est_rows > budget_rows:
+        # --mesh: route seq2sdbg through the bucketed builder even
+        # under budget, so its sorts shard over the device mesh (the
+        # in-memory finalize is single-device by construction)
+        if est_rows > budget_rows or (self.opt.use_mesh and est_rows):
             from ..graph.bucketed import (
                 EdgeSource, PoolSource, build_sdbg_bucketed,
             )

@@ -128,3 +128,21 @@ def test_tmp_dir_version_and_deprecated_flags(tmp_path, capsys):
     assert os.listdir(troot) == tmps
     finals = read_contigs(os.path.join(out, "final.contigs.fa"))
     assert len(finals) == 1
+
+
+def test_mesh_pipeline_matches_single_device(tmp_path):
+    """--mesh (8 virtual devices): counting shards over the mesh and
+    seq2sdbg routes through the mesh-sorted bucketed builder; final
+    contigs match the single-device run exactly."""
+    genome = RNG.integers(0, 4, size=2500).astype(np.uint8)
+    p1, p2 = write_pe(genome, str(tmp_path), "m")
+    outs = []
+    for name, extra in (("plain", []), ("mesh", ["--mesh"])):
+        out = str(tmp_path / name)
+        assert main(["-1", p1, "-2", p2, "-o", out, "--k-list", "21,29",
+                     "--no-local"] + extra) == 0
+        outs.append(sorted(
+            canon(c.codes)
+            for c in read_contigs(os.path.join(out, "final.contigs.fa"))
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) >= 1
