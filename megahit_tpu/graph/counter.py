@@ -148,11 +148,18 @@ def count_canonical_kmers(
     k1: int,
     min_count: int,
     batch_windows: int = 1 << 22,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_rare: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Count all canonical k1-mers of the sequence pool.
 
     Returns (keys (E, W) uint32 sorted, counts (E,) int32) with
     counts >= min_count, counts clipped to KMAX_MUL.
+
+    With return_rare=True, also returns the (R, W) NON-solid distinct
+    keys (count < min_count) - the exact basis for mercy's candidate-
+    read filter (the reference tracks candidate reads approximately
+    via per-read solid-offset CAS loops, kmer_counter.cpp:307-369; a
+    read can host a mercy gap only if it contains a non-solid window).
 
     Equivalent to reference KmerCounter::Run minus mercy bookkeeping
     (kmer_counter.cpp:114-156, 254-381).
@@ -161,12 +168,19 @@ def count_canonical_kmers(
     w = kmerops.words_per_kmer(k1)
     n_bases = int(starts[-1])
     n = n_bases - k1 + 1
+
+    def ret(keys, counts, rare):
+        return (keys, counts, rare) if return_rare else (keys, counts)
+
+    empty = (np.zeros((0, w), dtype=np.uint32),
+             np.zeros(0, dtype=np.int32),
+             np.zeros((0, w), dtype=np.uint32))
     if n <= 0:
-        return np.zeros((0, w), dtype=np.uint32), np.zeros(0, dtype=np.int32)
+        return ret(*empty)
     valid_all = window_valid_mask(starts, k1, n_bases)
     n = int(valid_all.sum())
     if n == 0:
-        return np.zeros((0, w), dtype=np.uint32), np.zeros(0, dtype=np.int32)
+        return ret(*empty)
     packed_np = pack_flat(flat_codes)
     # pad so every base offset has a full (W+1)-word window to read from
     packed_np = np.concatenate(
@@ -205,8 +219,11 @@ def count_canonical_kmers(
                 "count (fused): %d windows -> %d distinct, %d solid",
                 n, nd, int(keep.sum()),
             )
-            return (out_keys[keep],
-                    np.minimum(out_counts[keep], KMAX_MUL).astype(np.int32))
+            return ret(
+                out_keys[keep],
+                np.minimum(out_counts[keep], KMAX_MUL).astype(np.int32),
+                out_keys[~keep],
+            )
         log.debug("fused count capacity %d < distinct %d; falling back",
                   cap, nd)
     if not use_pallas and k1 <= 32:
@@ -249,19 +266,21 @@ def count_canonical_kmers(
         counts = np.diff(np.append(idx, len(u))).astype(np.int32)
         distinct = u[idx]
         keep = counts >= min_count
-        distinct = distinct[keep]
+
+        def u64_to_keys(d):
+            ks = np.empty((len(d), w), np.uint32)
+            ks[:, 0] = (d >> np.uint64(32)).astype(np.uint32)
+            if w == 2:
+                ks[:, 1] = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            return ks
+
+        out_keys = u64_to_keys(distinct[keep])
         out_counts = np.minimum(counts[keep], KMAX_MUL).astype(np.int32)
-        out_keys = np.empty((len(distinct), w), np.uint32)
-        out_keys[:, 0] = (distinct >> np.uint64(32)).astype(np.uint32)
-        if w == 2:
-            out_keys[:, 1] = (distinct & np.uint64(0xFFFFFFFF)).astype(
-                np.uint32
-            )
         log.debug(
             "count (host u64): %d windows -> %d distinct, %d solid",
             n, len(idx), len(out_keys),
         )
-        return out_keys, out_counts
+        return ret(out_keys, out_counts, u64_to_keys(distinct[~keep]))
 
     chunks = []
     for lo in range(0, n_bases, chunk):
@@ -316,6 +335,7 @@ def count_canonical_kmers(
 
     out_keys = skeys[keep]
     out_counts = np.minimum(counts[keep], KMAX_MUL).astype(np.int32)
+    rare = skeys[head & (counts > 0) & (counts < min_count)]
     log.debug(
         "count: %d windows -> %d distinct canonical %d-mers, %d solid (>=%d)",
         n,
@@ -324,4 +344,4 @@ def count_canonical_kmers(
         len(out_keys),
         min_count,
     )
-    return out_keys, out_counts
+    return ret(out_keys, out_counts, rare)

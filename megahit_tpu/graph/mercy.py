@@ -152,17 +152,61 @@ def _flags_host_u64(
     return has_in, has_out
 
 
+def _candidate_reads(packed, packed_np, rare_keys, k1, starts,
+                     valid_all, chunk_bases, pool) -> np.ndarray:
+    """Reads containing at least one NON-solid (k1)-window.
+
+    A fully-solid read cannot host a mercy gap (every interior node has
+    both flags; the final in-only node has nothing after it), so these
+    are exactly the reads worth scanning - the exact version of the
+    reference's candidate-read tracking (kmer_counter.cpp:307-369)."""
+    n_reads = len(starts) - 1
+    cand = np.zeros(n_reads, dtype=bool)
+    if len(rare_keys) == 0:
+        return cand
+    rare_u64 = kmerops.keys_to_u64(rare_keys, k1)
+    w = kmerops.words_per_kmer(k1)
+    n_bases = int(starts[-1])
+    n_dense = (len(packed_np) - w) * 16
+    for lo in range(0, n_bases, chunk_bases):
+        hi = min(n_dense, lo + chunk_bases)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        span = min(min(hi, n_bases) - lo, (size - w) * 16)
+        vm = np.zeros((size - w) * 16, dtype=bool)
+        vm[:span] = valid_all[lo : lo + span]
+        from .counter import _extract_canonical_u64le
+
+        pairs = np.ascontiguousarray(
+            _extract_canonical_u64le(sub, jnp.asarray(vm), k1)
+        )
+        u = pairs.view(np.uint64).ravel()[:span]
+        _, found = kmerops.member_sorted_mt(rare_u64, u, pool)
+        loc = np.flatnonzero(found)
+        if len(loc):
+            rid = np.searchsorted(starts, loc + lo, side="right") - 1
+            cand[rid] = True
+        if hi >= n_dense:
+            break
+    return cand
+
+
 def find_mercy_edges(
     flat_codes: np.ndarray,
     starts: np.ndarray,
     solid_keys: np.ndarray,
     k1: int,
     chunk_bases: int = 1 << 22,
+    rare_keys: np.ndarray | None = None,
 ) -> np.ndarray:
     """Return (M, W) canonical mercy (k1)-mers (deduplicated).
 
     flat_codes/starts: the read pool. solid_keys: sorted canonical
-    solid (k1)-mers. k1 = edge length = megahit k + 1.
+    solid (k1)-mers. k1 = edge length = megahit k + 1. rare_keys
+    (optional): the counter's NON-solid distinct keys; when given,
+    the node-flag scan runs only over candidate reads (those with a
+    non-solid window) instead of the whole pool.
     """
     chunk_bases = max(1 << 16, (chunk_bases + 15) & ~15)
     log = get_logger()
@@ -176,8 +220,13 @@ def find_mercy_edges(
     packed_np = np.concatenate([packed_np, np.zeros(w + 1, dtype=np.uint32)])
     packed = jnp.asarray(packed_np)
 
-    # dense has_in / has_out over every base offset, chunked
     n_dense = (len(packed_np) - w) * 16
+    if k <= 31 and rare_keys is not None:
+        return _mercy_candidate_reads_path(
+            packed, packed_np, flat_codes, starts, solid_keys,
+            rare_keys, k, k1, chunk_bases, log,
+        )
+    # dense has_in / has_out over every base offset, chunked
     if k <= 31:
         has_in, has_out = _flags_host_u64(
             packed, packed_np, solid_keys, k, k1, n_bases, chunk_bases
@@ -210,18 +259,73 @@ def find_mercy_edges(
     status[~valid_k] = 3
     status[np.repeat(lengths < k1 + 1, lengths)] = 3
 
-    # the latest in-only position before each b, cancelled by any later
-    # stop (status 2 or 3). Sparse formulation: dense cummax over 25M+
-    # positions costs seconds of ufunc.accumulate on a weak host; the
-    # in-only/stop position LISTS are small, so two searchsorted calls
-    # at the b positions give the same answers
-    b_list = np.flatnonzero(status == 2)
-    if len(b_list) == 0:
+    return _emit_gap_edges(
+        np.flatnonzero(status == 1), np.flatnonzero(status == 2),
+        np.flatnonzero(status >= 2), starts, packed, k1, w, log,
+    )
+
+
+def _mercy_candidate_reads_path(
+    packed, packed_np, flat_codes, starts, solid_keys, rare_keys,
+    k, k1, chunk_bases, log,
+) -> np.ndarray:
+    """Node-flag scan restricted to candidate reads (sparse positions;
+    identical output to the dense scan - non-candidate reads are
+    fully solid and provably gap-free)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils.threads import num_threads
+
+    w = kmerops.words_per_kmer(k1)
+    n_bases = int(starts[-1])
+    valid_all = window_valid_mask(starts, k1, n_bases)
+    lengths = np.diff(starts)
+    with ThreadPoolExecutor(max_workers=min(8, num_threads())) as pool:
+        cand = _candidate_reads(packed, packed_np, rare_keys, k1,
+                                starts, valid_all, chunk_bases, pool)
+        # reads shorter than k+2 are skipped entirely (reference
+        # seq_to_sdbg.cpp:202 `read_len < opt_.k + 2`)
+        cand &= lengths >= k1 + 1
+        n_cand = int(cand.sum())
+        if n_cand == 0:
+            return np.zeros((0, w), dtype=np.uint32)
+        log.debug("mercy: %d/%d candidate reads", n_cand, len(cand))
+        rs = starts[:-1][cand]
+        re_ = starts[1:][cand]
+        seg = (re_ - rs).astype(np.int64)
+        total = int(seg.sum())
+        # ALL positions of every candidate read, ascending (each
+        # read's k-window-invalid tail provides the cross-read stop)
+        pos = np.repeat(rs, seg) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(seg) - seg, seg)
+        )
+        read_end = np.repeat(re_, seg)
+        keys_k = np.asarray(kmerops.extract_kmers(
+            packed, jnp.asarray(pos.astype(np.int32)), k
+        ))
+        table, tflags = _node_sets_u64(solid_keys, k1)
+        f = _flags_mt(table, tflags, kmerops.keys_to_u64(keys_k, k),
+                      pool)
+    status = ((f >> 1) & 1) | ((f & 1) << 1)  # 1 in-only, 2 out-only
+    status[pos + k > read_end] = 3
+    return _emit_gap_edges(
+        pos[status == 1], pos[status == 2], pos[status >= 2],
+        starts, packed, k1, w, log,
+    )
+
+
+def _emit_gap_edges(one_list, b_list, stop_list, starts, packed, k1,
+                    w, log) -> np.ndarray:
+    """Gap windows from (in-only, out-only, stop) position lists.
+
+    The latest in-only position before each b, cancelled by any later
+    stop (status 2 or 3). Sparse formulation: dense cummax over 25M+
+    positions costs seconds of ufunc.accumulate on a weak host; the
+    in-only/stop position LISTS are small, so two searchsorted calls
+    at the b positions give the same answers."""
+    if len(b_list) == 0 or len(one_list) == 0:
         return np.zeros((0, w), dtype=np.uint32)
-    one_list = np.flatnonzero(status == 1)
-    if len(one_list) == 0:  # no in-only position anywhere: no gaps
-        return np.zeros((0, w), dtype=np.uint32)
-    stop_list = np.flatnonzero(status >= 2)
     # last in-only strictly before b (status[b] == 2, so <= b == < b)
     ia = np.searchsorted(one_list, b_list)
     a_list = np.where(ia > 0, one_list[np.maximum(ia - 1, 0)], -1)

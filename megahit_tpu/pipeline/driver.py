@@ -205,13 +205,17 @@ class Pipeline:
                 lib.flat_codes, lib.starts, k1, o.min_count, mesh
             )
         else:
-            keys, counts = count_canonical_kmers(
+            keys, counts, rare = count_canonical_kmers(
                 lib.flat_codes, lib.starts, k1, o.min_count,
                 batch_windows=self._batch_windows(),
+                return_rare=True,
             )
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
         if not o.no_mercy:
-            mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys, k1)
+            mercy = find_mercy_edges(
+                lib.flat_codes, lib.starts, keys, k1,
+                rare_keys=None if o.use_mesh else rare,
+            )
             if len(mercy):
                 keys = np.concatenate([keys, mercy], axis=0)
                 counts = np.concatenate(

@@ -93,3 +93,26 @@ def test_mercy_no_gap_no_edges():
     solid_set = {canon(packing.unpack_words(row, k1)) for row in keys}
     want = brute_mercy(reads, solid_set, k1)
     assert {canon(packing.unpack_words(r, k1)) for r in got} == want
+
+
+def test_mercy_candidate_filter_matches_full_scan():
+    """rare_keys candidate filtering (exact version of the reference's
+    .cand mechanism, kmer_counter.cpp:307-369) must emit the same
+    mercy set as the full-pool scan."""
+    genome = RNG.integers(0, 4, size=800).astype(np.uint8)
+    reads = []
+    # two well-covered islands ...
+    for s in list(range(0, 240, 3)) + list(range(450, 740, 3)):
+        reads.append(genome[s : s + 60].copy())
+    # ... bridged by ONE read: its middle windows are single-coverage
+    # (non-solid at min_count=2) between solid flanks - a mercy gap
+    reads.append(genome[260:480].copy())
+    flat, starts = packing.pack_many(reads)
+    k1 = 22
+    keys, counts, rare = counter.count_canonical_kmers(
+        flat, starts, k1, 2, return_rare=True
+    )
+    full = find_mercy_edges(flat, starts, keys, k1)
+    filt = find_mercy_edges(flat, starts, keys, k1, rare_keys=rare)
+    assert len(full) > 0  # the scenario must actually exercise mercy
+    assert np.array_equal(full, filt)
