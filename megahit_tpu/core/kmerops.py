@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 BASES_PER_WORD = 16
-U32 = jnp.uint32
+# numpy scalar, NOT jnp: a jnp.uint32 scalar hijacks numpy-array
+# operands into device arrays, silently defeating the dual-backend
+# (numpy in -> numpy out) contract of the key-surgery helpers; an
+# np.uint32 scalar stays numpy with numpy and becomes a constant
+# under jit with jax arrays.
+U32 = np.uint32
 
 
 def words_per_kmer(k: int) -> int:
@@ -415,6 +420,34 @@ def pack_u64_columns(kn: np.ndarray) -> list[np.ndarray]:
     if w % 2:
         cols.append(kn[:, w - 1].astype(np.uint64) << np.uint64(32))
     return cols
+
+
+def _reverse_bases_u64(x: np.ndarray) -> np.ndarray:
+    """Reverse the 32 2-bit groups within each uint64 (host)."""
+    c = np.uint64
+    x = ((x & c(0x3333333333333333)) << c(2)) \
+        | ((x & c(0xCCCCCCCCCCCCCCCC)) >> c(2))
+    x = ((x & c(0x0F0F0F0F0F0F0F0F)) << c(4)) \
+        | ((x & c(0xF0F0F0F0F0F0F0F0)) >> c(4))
+    x = ((x & c(0x00FF00FF00FF00FF)) << c(8)) \
+        | ((x & c(0xFF00FF00FF00FF00)) >> c(8))
+    x = ((x & c(0x0000FFFF0000FFFF)) << c(16)) \
+        | ((x & c(0xFFFF0000FFFF0000)) >> c(16))
+    return (x << c(32)) | (x >> c(32))
+
+
+def ref_order_u64(keys: np.ndarray, k: int) -> np.ndarray:
+    """Host fast path of ref_order_keys for k <= 32: the rotated key
+    as ONE u64 per edge (left-aligned reverse(chars[0..k-2]) ++
+    chars[k-1]), identical order to ref_order_keys' row output."""
+    assert k <= 32
+    c = np.uint64
+    u = keys_to_u64_words(keys) if keys.shape[-1] == 2 \
+        else keys[:, 0].astype(np.uint64) << c(32)
+    node = u & (~c(0) << c(64 - 2 * (k - 1)))  # first k-1 bases
+    rev = _reverse_bases_u64(node) << c(2 * (32 - (k - 1)))
+    last = (u >> c(64 - 2 * k)) & c(3)
+    return rev | (last << c(62 - 2 * (k - 1)))
 
 
 def argsort_rows_np(kn: np.ndarray) -> np.ndarray:

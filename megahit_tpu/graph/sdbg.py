@@ -94,13 +94,19 @@ class Sdbg:
 
         def pad4(a):
             a = np.asarray(a)
-            return np.concatenate(
-                [a, np.full((padn, 4), NULL, np.int32)]
-            ) if padn else a
+            if not padn:
+                return a
+            out = np.empty((cap, 4), np.int32)
+            out[:e] = a
+            out[e:] = NULL
+            return out
 
-        self._rc = np.concatenate(
-            [np.asarray(rc), np.arange(e, cap, dtype=np.int32)]
-        ) if padn else np.asarray(rc)
+        if padn:
+            self._rc = np.empty(cap, np.int32)
+            self._rc[:e] = np.asarray(rc)
+            self._rc[e:] = np.arange(e, cap, dtype=np.int32)
+        else:
+            self._rc = np.asarray(rc)
         self._oc_t, self._ic_t = pad4(oc_t), pad4(ic_t)
         self._oc_s, self._ic_s = pad4(oc_s), pad4(ic_s)
 
@@ -147,8 +153,12 @@ class Sdbg:
         if getattr(self, "_ref_rank", None) is None:
             n = self.size
             if jax.default_backend() == "cpu":
-                rot = kmerops.ref_order_keys(self.keys, self.k)
-                cols = kmerops.pack_u64_columns(rot)
+                if self.k <= 32:
+                    cols = [kmerops.ref_order_u64(self.keys, self.k)]
+                else:
+                    cols = kmerops.pack_u64_columns(
+                        kmerops.ref_order_keys(self.keys, self.k)
+                    )
                 # invalid rows must rank after all valid ones: force
                 # their primary column to the max sentinel (real keys
                 # can collide with it only at k = 16*W exactly, where
@@ -283,8 +293,76 @@ class Sdbg:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_group_words"))
 def _neighbor_tables(keys, k, n_group_words: int = 0):
+    """Dispatch: jitted device sort-joins for jax-array keys, plain
+    numpy (host sorts, no tracing) for numpy keys; u64 fast path for
+    single-u64-width host keys."""
+    if isinstance(keys, jax.Array):
+        return _neighbor_tables_jit(keys, k, n_group_words)
+    if n_group_words == 0 and k <= 32 and keys.shape[-1] <= 2:
+        return _neighbor_tables_u64(keys, k)
+    return _neighbor_tables_impl(keys, k, n_group_words)
+
+
+def _neighbor_tables_u64(keys, k):
+    """Host fast path of _neighbor_tables_impl for k <= 32: all key
+    surgery on one u64 per edge (left-aligned 2-bit layout), the rc
+    pairing by direct binary search in the (sorted) edge keys, and the
+    node join by one u64 argsort. Same outputs as the general path."""
+    c = np.uint64
+    e = len(keys)
+    u = kmerops.keys_to_u64_words(keys) if keys.shape[-1] == 2 \
+        else keys[:, 0].astype(np.uint64) << c(32)
+    node_mask = ~c(0) << c(64 - 2 * (k - 1))
+    prefix = u & node_mask
+    suffix = (u << c(2)) & node_mask
+    first = (u >> c(62)).astype(np.int32)
+    last = ((u >> c(64 - 2 * k)) & c(3)).astype(np.int32)
+
+    idx = np.arange(e, dtype=np.int32)
+    node = np.concatenate([prefix, suffix])
+    kind = np.concatenate([np.zeros(e, np.int32), np.ones(e, np.int32)])
+    base = np.concatenate([last, first])
+    eid = np.concatenate([idx, idx])
+    order = np.argsort(node)
+    snode = node[order]
+    skind, sbase, seid = kind[order], base[order], eid[order]
+    head = np.ones(2 * e, dtype=bool)
+    head[1:] = snode[1:] != snode[:-1]
+    node_id = np.cumsum(head.astype(np.int32), dtype=np.int32) - 1
+
+    pos = node_id * 4 + sbase
+    node_out = np.full(2 * e * 4, NULL, np.int32)
+    node_in = np.full(2 * e * 4, NULL, np.int32)
+    sel = skind == 0
+    node_out[pos[sel]] = seid[sel]
+    node_in[pos[~sel]] = seid[~sel]
+    node_out = node_out.reshape(2 * e, 4)
+    node_in = node_in.reshape(2 * e, 4)
+    pfx_id = np.zeros(e, np.int32)
+    sfx_id = np.zeros(e, np.int32)
+    pfx_id[seid[sel]] = node_id[sel]
+    sfx_id[seid[~sel]] = node_id[~sel]
+
+    oc_t = node_out[sfx_id]
+    ic_t = node_in[sfx_id]
+    oc_s = node_out[pfx_id]
+    ic_s = node_in[pfx_id]
+
+    # rc pairing: the edge set is closed under revcomp and the caller
+    # hands keys in sorted order (finalize output) - but don't assume
+    # it: search a sorted view
+    rc_u = (kmerops._reverse_bases_u64(~u) << c(2 * (32 - k))) \
+        & (~c(0) << c(64 - 2 * k))
+    if np.all(u[1:] >= u[:-1]):
+        rc_idx = np.searchsorted(u, rc_u).astype(np.int32)
+    else:
+        uo = np.argsort(u).astype(np.int32)
+        rc_idx = uo[np.searchsorted(u[uo], rc_u)].astype(np.int32)
+    return rc_idx, oc_t, ic_t, oc_s, ic_s
+
+
+def _neighbor_tables_impl(keys, k, n_group_words: int = 0):
     """rc index + the four (E,4) candidate tables via sort-joins.
 
     Redesign note: the v1 implementation ran 17 batched binary searches
@@ -395,6 +473,11 @@ def _neighbor_tables(keys, k, n_group_words: int = 0):
     else:
         rc_idx = jnp.zeros(e, jnp.int32).at[a].set(b).at[b].set(a)
     return rc_idx, oc_t, ic_t, oc_s, ic_s
+
+
+_neighbor_tables_jit = functools.partial(
+    jax.jit, static_argnames=("k", "n_group_words")
+)(_neighbor_tables_impl)
 
 
 @jax.jit
@@ -616,16 +699,24 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
 
     def padi(a, fill):
         a = np.asarray(a)
-        return np.concatenate(
-            [a, np.full((padn,) + a.shape[1:], fill, a.dtype)]
-        ) if padn else a
+        if not padn:
+            return a
+        # empty + two slice fills: ~10x cheaper than full+concatenate
+        # (no redundant write of the live region, one allocation)
+        out = np.empty((cap,) + a.shape[1:], a.dtype)
+        out[:e] = a
+        out[e:] = fill
+        return out
 
-    keys_p = np.concatenate(
-        [edges, np.full((padn, w), 0xFFFFFFFF, np.uint32)]
-    ) if padn else edges
-    rc_p = np.concatenate(
-        [rc_idx, np.arange(e, cap, dtype=rc_idx.dtype)]
-    ) if padn else rc_idx
+    if padn:
+        keys_p = np.empty((cap, w), np.uint32)
+        keys_p[:e] = edges
+        keys_p[e:] = 0xFFFFFFFF
+        rc_p = np.empty(cap, rc_idx.dtype)
+        rc_p[:e] = rc_idx
+        rc_p[e:] = np.arange(e, cap, dtype=rc_idx.dtype)
+    else:
+        keys_p, rc_p = edges, rc_idx
     return Sdbg(
         k=k,
         keys=keys_p,
