@@ -149,6 +149,11 @@ def main(argv=None) -> int:
 
     set_num_threads(args.num_cpu_threads)
 
+    from megahit_tpu.utils.debug import debug_enabled, enable_debug_checks
+
+    if debug_enabled():
+        enable_debug_checks()
+
     # persistent compilation cache: assemblies reuse kernels across
     # stages, k values and runs (capacity padding keeps shapes stable)
     import jax

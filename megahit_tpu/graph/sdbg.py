@@ -688,6 +688,8 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
         )
         assert (edges[rc_idx[sample]] == rc_sample).all(), \
             "edge set must be closed under revcomp"
+    from ..utils.debug import check_sdbg_invariants, debug_enabled
+    _debug = debug_enabled()
 
     # pad all per-edge arrays to a power-of-two CAPACITY with inert
     # rows (valid=False, self-rc, no candidates): every downstream
@@ -717,7 +719,7 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
         rc_p[e:] = np.arange(e, cap, dtype=rc_idx.dtype)
     else:
         keys_p, rc_p = edges, rc_idx
-    return Sdbg(
+    sdbg = Sdbg(
         k=k,
         keys=keys_p,
         mult=padi(mult, 0),
@@ -731,6 +733,9 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
         ),
         real=e,
     )
+    if _debug:
+        check_sdbg_invariants(sdbg)
+    return sdbg
 
 
 # ---------------------------------------------------------------------------
