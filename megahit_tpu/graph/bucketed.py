@@ -47,56 +47,34 @@ N_BUCKETS = 256  # top 8 bits of word0 = first 4 bases
 
 
 # ---------------------------------------------------------------------------
-# numpy ports of the key ops (host-side, per-round bookkeeping; the
-# device versions in core.kmerops stay the hot path)
+# host aliases of the dual-backend key ops (kmerops helpers are
+# polymorphic: numpy in -> numpy out; kept as names so call sites read
+# as the host-side bookkeeping they are)
 # ---------------------------------------------------------------------------
 
 
+def _as_np(a):
+    return np.ascontiguousarray(np.asarray(a))
+
+
 def np_mask_tail(keys: np.ndarray, k: int) -> np.ndarray:
-    w = keys.shape[-1]
-    used = k - (w - 1) * 16
-    if used == 16:
-        return keys
-    out = keys.copy()
-    out[..., -1] &= np.uint32((0xFFFFFFFF << (32 - 2 * used))
-                              & 0xFFFFFFFF)
-    return out
-
-
-def _np_reverse_bases_in_word(x: np.ndarray) -> np.ndarray:
-    x = ((x & 0x33333333) << 2) | ((x & 0xCCCCCCCC) >> 2)
-    x = ((x & 0x0F0F0F0F) << 4) | ((x & 0xF0F0F0F0) >> 4)
-    x = ((x & 0x00FF00FF) << 8) | ((x & 0xFF00FF00) >> 8)
-    return ((x << 16) | (x >> 16)).astype(np.uint32)
+    return _as_np(kmerops.mask_tail(keys, k))
 
 
 def np_shift_left_bits(keys: np.ndarray, nbits: int) -> np.ndarray:
-    if nbits == 0:
-        return keys
-    hi = (keys << np.uint32(nbits)).astype(np.uint32)
-    lo_src = np.concatenate(
-        [keys[..., 1:], np.zeros_like(keys[..., :1])], axis=-1
-    )
-    return hi | (lo_src >> np.uint32(32 - nbits))
+    return _as_np(kmerops.shift_left_bits(keys, nbits))
 
 
 def np_revcomp(keys: np.ndarray, k: int) -> np.ndarray:
-    w = keys.shape[-1]
-    comp = (~keys).astype(np.uint32)
-    rev = _np_reverse_bases_in_word(comp)[..., ::-1]
-    pad = w * 16 - k
-    out = np_shift_left_bits(rev, 2 * pad) if pad else rev
-    return np_mask_tail(np.ascontiguousarray(out), k)
+    return _as_np(kmerops.revcomp_kmers(keys, k))
 
 
 def np_drop_first_base(keys: np.ndarray, k: int) -> np.ndarray:
-    return np_mask_tail(np_shift_left_bits(keys, 2), k)
+    return _as_np(kmerops.drop_first_base(keys, k))
 
 
 def np_get_base(keys: np.ndarray, i: int) -> np.ndarray:
-    word = i // 16
-    sh = np.uint32(30 - 2 * (i % 16))
-    return (keys[..., word] >> sh) & np.uint32(3)
+    return _as_np(kmerops.get_base(keys, i))
 
 
 # ---------------------------------------------------------------------------

@@ -182,7 +182,11 @@ def find_next_kmers(
         sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
         hf, hr = _flank_hits(sub, fkeys, k1)
         hf, hr = np.asarray(hf), np.asarray(hr)
-        span = min(len(hf), n_bases - lo)
+        # clamp to [lo, hi): the word-aligned slice covers up to 16
+        # extra positions that belong to the NEXT chunk - emitting
+        # them twice would duplicate hit rows and break the ascending-
+        # hpos invariant the greedy-skip emulation depends on
+        span = min(min(hi, n_bases) - lo, len(hf))
         loc = np.flatnonzero((hf[:span] >= 0) | (hr[:span] >= 0))
         pos_parts.append(loc + lo)
         hf_parts.append(hf[loc])

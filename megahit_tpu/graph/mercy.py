@@ -301,12 +301,19 @@ def _mercy_candidate_reads_path(
             - np.repeat(np.cumsum(seg) - seg, seg)
         )
         read_end = np.repeat(re_, seg)
-        keys_k = np.asarray(kmerops.extract_kmers(
-            packed, jnp.asarray(pos.astype(np.int32)), k
-        ))
         table, tflags = _node_sets_u64(solid_keys, k1)
-        f = _flags_mt(table, tflags, kmerops.keys_to_u64(keys_k, k),
-                      pool)
+        # chunked: candidate positions can approach the whole pool on
+        # low-coverage data; keep the gather + flag working set at
+        # chunk_bases positions like the dense path
+        f = np.empty(total, dtype=np.uint8)
+        for lo in range(0, total, chunk_bases):
+            hi = min(total, lo + chunk_bases)
+            keys_k = np.asarray(kmerops.extract_kmers(
+                packed, jnp.asarray(pos[lo:hi].astype(np.int32)), k
+            ))
+            f[lo:hi] = _flags_mt(
+                table, tflags, kmerops.keys_to_u64(keys_k, k), pool
+            )
     status = ((f >> 1) & 1) | ((f & 1) << 1)  # 1 in-only, 2 out-only
     status[pos + k > read_end] = 3
     return _emit_gap_edges(

@@ -162,9 +162,9 @@ def map_reads(
     n_reads = len(starts) - 1
     out = MapResult(*(np.full(n_reads, -1, dtype=np.int64)
                       for _ in range(7)))
-    if index.size == 0 or n_reads == 0:
-        return out
     n_bases = int(starts[-1])
+    if index.size == 0 or n_reads == 0 or n_bases < seed_k:
+        return out
     w = kmerops.words_per_kmer(seed_k)
     packed_np = pack_flat(flat_codes)
     packed_np = np.concatenate([packed_np, np.zeros(w + 1, np.uint32)])
@@ -246,7 +246,7 @@ def map_reads(
     # keys (less than half the lexsort passes of 7 int64 columns)
     # when in-read offsets fit 16 bits; oversized inputs fall back to
     # the full-width column sort.
-    if lengths.max() < (1 << 16) and cfrom.max(initial=0) < (1 << 32):
+    if lengths.max() < (1 << 16) and cto.max(initial=0) < (1 << 32):
         ka = (rid.astype(np.uint64) << np.uint64(1)) \
             | mstrand.astype(np.uint64)
         kb = (cid.astype(np.uint64) << np.uint64(32)) \

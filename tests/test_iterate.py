@@ -63,3 +63,23 @@ def test_no_contigs_no_edges():
     flat, starts = packing.pack_many(reads)
     keys, muls = find_next_kmers(flat, starts, idx)
     assert len(keys) == 0
+
+
+def test_chunk_boundary_no_duplicate_hits():
+    """Hits inside the 16-base word-aligned chunk overlap must emit
+    once: results with a tiny chunk must equal the single-chunk run
+    (regression: duplicated hpos rows broke the greedy-skip order)."""
+    k, step = 21, 10
+    genome = RNG.integers(0, 4, size=300_000).astype(np.uint8)
+    # junction pairs scattered so flank hits land near 64K boundaries
+    contigs = [genome[s : s + 400].copy()
+               for s in range(0, len(genome) - 400, 360)]
+    idx = build_flank_index(contigs, [2.0] * len(contigs), k, step)
+    reads = [genome[s : s + 120].copy()
+             for s in range(0, len(genome) - 120, 37)]
+    flat, starts = packing.pack_many(reads)
+    big = find_next_kmers(flat, starts, idx, chunk_bases=1 << 30)
+    small = find_next_kmers(flat, starts, idx, chunk_bases=1 << 16)
+    assert np.array_equal(big[0], small[0])
+    assert np.array_equal(big[1], small[1])
+    assert len(big[0]) > 0
