@@ -845,17 +845,117 @@ def _trim_tips_once(oc_t, ic_t, oc_s, ic_s, valid, max_len: int):
     return to_remove, n_tips
 
 
-def remove_tips_sdbg(sdbg: Sdbg, max_tip_len: int) -> int:
-    """Doubling-length tip removal schedule (sdbg_pruning.cpp:147-178)."""
-    log = get_logger()
-    total = 0
+def _tip_schedule(max_tip_len: int) -> list[int]:
     lens = []
     ln = 2
     while ln < max_tip_len:
         lens.append(ln)
         ln *= 2
     lens.append(max_tip_len)
-    for ln in lens:
+    return lens
+
+
+def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
+    """Host tip removal: sparse seed-walks instead of whole-graph
+    pointer doubling.
+
+    Tips are a tiny frontier (out-degree-0 chain ends); the reference
+    walks back from each seed linearly (sdbg_pruning.cpp:61-145).
+    Degrees and simple-path links are computed once over all edges,
+    then updated INCREMENTALLY around each removal (the only rows a
+    removal can affect are the valid entries of the removed rows'
+    four candidate tables). Identical marks to _trim_tips_once."""
+    log = get_logger()
+    valid = sdbg.valid
+    tabs = (sdbg.oc_t, sdbg.ic_t, sdbg.oc_s, sdbg.ic_s)
+
+    def cand_deg(t, rows=None):
+        tt = t if rows is None else t[rows]
+        return ((tt >= 0) & valid[np.maximum(tt, 0)]).sum(
+            axis=-1, dtype=np.int32)
+
+    def unique_valid(t, rows):
+        tt = t[rows]
+        cv = (tt >= 0) & valid[np.maximum(tt, 0)]
+        return np.max(np.where(cv, tt, NULL), axis=-1)
+
+    # only the out-degree (seed detection) is materialized; prv links
+    # and start-classification degrees are computed lazily at the
+    # (sparse) rows the walks actually touch. -2 = not yet computed.
+    odt = cand_deg(tabs[0])
+    UNK = np.int32(-2)
+    prv = np.full(sdbg.size, UNK, dtype=np.int32)
+
+    def prv_at(rows):
+        need = rows[prv[rows] == UNK]
+        if len(need):
+            ids_n = cand_deg(tabs[3], need)
+            ods_n = cand_deg(tabs[2], need)
+            prv[need] = np.where(
+                valid[need] & (ids_n == 1) & (ods_n == 1),
+                unique_valid(tabs[3], need), NULL,
+            )
+        return prv[rows]
+
+    total = 0
+    for ln in _tip_schedule(max_tip_len):
+        seeds = np.flatnonzero(valid & (odt == 0))
+        if len(seeds) == 0:
+            continue
+        # vectorized walk back along prv, at most ln-1 hops; record
+        # the trajectory to mark members later
+        cur = seeds.copy()
+        traj = [cur.copy()]
+        aliv = np.ones(len(seeds), dtype=bool)
+        for _ in range(int(ln) - 2):
+            p = prv_at(cur)
+            step = aliv & (p >= 0)
+            if not step.any():
+                break
+            cur = np.where(step, p, cur)
+            aliv = step
+            traj.append(np.where(step, cur, NULL))
+        complete = prv_at(cur) < 0  # walked to the chain start
+        ids_c = cand_deg(tabs[3], cur)
+        ods_c = cand_deg(tabs[2], cur)
+        tip = complete & (
+            (ids_c == 0) | ((ids_c == 1) & (ods_c != 1))
+        )
+        n = int(tip.sum())
+        total += n
+        if n == 0:
+            continue
+        members = np.unique(np.concatenate(
+            [t[tip][t[tip] >= 0] for t in traj]
+        ))
+        members = np.unique(np.concatenate(
+            [members, sdbg.rc[members]]
+        ))
+        valid[members] = False
+        # incremental repair: rows referencing a removed edge are
+        # exactly the removed rows' candidate entries
+        aff = np.concatenate([t[members].ravel() for t in tabs])
+        aff = np.unique(aff[aff >= 0])
+        aff = aff[valid[aff]]
+        if len(aff):
+            odt[aff] = cand_deg(tabs[0], aff)
+            prv[aff] = UNK  # recompute lazily if a walk reaches them
+        odt[members] = 0
+        prv[members] = NULL
+    log.debug("sdbg tips removed: %d (max_len=%d)", total, max_tip_len)
+    return total
+
+
+def remove_tips_sdbg(sdbg: Sdbg, max_tip_len: int) -> int:
+    """Doubling-length tip removal schedule (sdbg_pruning.cpp:147-178).
+
+    CPU backend: sparse host walks; device backends: jitted whole-
+    graph pointer doubling."""
+    if jax.default_backend() == "cpu":
+        return _remove_tips_sdbg_host(sdbg, max_tip_len)
+    log = get_logger()
+    total = 0
+    for ln in _tip_schedule(max_tip_len):
         valid = jnp.asarray(sdbg.valid)
         to_remove, n = _trim_tips_once(
             jnp.asarray(sdbg.oc_t), jnp.asarray(sdbg.ic_t),
