@@ -289,16 +289,20 @@ def _classify_marks(graph: UnitigGraph):
     return delete, disc_fwd, disc_rc
 
 
-def _kill_edge_mask(graph, delete, disc_fwd, disc_rc):
-    kill_edges = np.zeros(graph.sdbg.size, dtype=bool)
+def _kill_edge_indices(graph, delete, disc_fwd, disc_rc):
+    """Edge indices to invalidate (rc partners handled by caller)."""
+    parts = []
     if disc_fwd.any():
-        kill_edges[graph.start[disc_fwd]] = True
+        parts.append(graph.start[disc_fwd])
     if disc_rc.any():
-        kill_edges[graph.rc_start[disc_rc]] = True
+        parts.append(graph.rc_start[disc_rc])
     if delete.any():
         member = (graph.vid >= 0) & delete[np.maximum(graph.vid, 0)]
-        kill_edges |= member
-    return kill_edges
+        parts.append(np.flatnonzero(member))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate([np.asarray(p, dtype=np.int64)
+                           for p in parts])
 
 
 def _propagate_changed(graph: UnitigGraph, g2: UnitigGraph,
@@ -359,9 +363,10 @@ def _refresh_full(graph, delete, disc_fwd, disc_rc,
     """Full edge-level rebuild (fallback path), then reorder/reorient
     to the reference Refresh's stable slot semantics."""
     s = graph.sdbg
-    kill_edges = _kill_edge_mask(graph, delete, disc_fwd, disc_rc)
-    if kill_edges.any():
-        s.invalidate(kill_edges)
+    kill_idx = _kill_edge_indices(graph, delete, disc_fwd, disc_rc)
+    if len(kill_idx):
+        s.valid[kill_idx] = False
+        s.valid[s.rc[kill_idx]] = False
     g2 = build_unitig_graph(s)
     g2 = _reference_order(graph, g2, disc_fwd, disc_rc)
     _propagate_changed(graph, g2, set_changed)
@@ -454,10 +459,10 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     are unchanged.
     """
     s = graph.sdbg
-    e_sz = s.size
-    kill_edges = _kill_edge_mask(graph, delete, disc_fwd, disc_rc)
-    if kill_edges.any():
-        s.invalidate(kill_edges)
+    kill_idx = _kill_edge_indices(graph, delete, disc_fwd, disc_rc)
+    if len(kill_idx):
+        s.valid[kill_idx] = False
+        s.valid[s.rc[kill_idx]] = False
 
     live_chain = (~delete) & ~graph.is_loop
     live_loop = (~delete) & graph.is_loop
@@ -616,13 +621,6 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     row_of_first[v_pairf] = np.arange(nv)
     vid_se = row_of_first[chain_of] if m else np.zeros(0, np.int64)
 
-    # --- expand to edge level
-    oldchain2se = np.full(e_sz, -1, dtype=np.int64)
-    oldchain2se[graph.start[lv]] = np.arange(n_l)
-    oldchain2se[graph.rc_start[lv[npal]]] = n_l + np.arange(len(npal))
-    se_of_edge = oldchain2se[graph.chain_start]
-    se_of_edge[~s.valid] = -1
-
     # weighted offset of each super-edge within its new chain
     offs = np.zeros(m, dtype=np.int64)
     if m:
@@ -637,28 +635,67 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         )
         offs[so] = csum - grp_base
 
-    vid_new = np.full(e_sz, NULL, dtype=np.int32)
-    chain_start_new = graph.chain_start.copy()
-    edge_pos_new = graph.edge_pos.copy()
-    mc = se_of_edge >= 0
-    sem = se_of_edge[mc]
-    vid_new[mc] = vid_se[sem].astype(np.int32)
-    chain_start_new[mc] = se_start[chain_of[sem]].astype(np.int32)
-    edge_pos_new[mc] = (offs[sem] + graph.edge_pos[mc]
-                        - se_shift[sem]).astype(np.int32)
-
-    # carried-over loop vertices
+    # --- expand to edge level, INCREMENTALLY: chain_start/edge_pos
+    # change only for edges of CHANGED chains (merged, disconnect-
+    # shifted, or newly cyclic - an unchanged chain is its own
+    # super-edge group with zero offset and shift, so its expansion is
+    # the identity); the vid update is one gather through a per-old-
+    # row map. Old-loop rows carry over with just the vid remap.
     ll = np.flatnonzero(live_loop)
-    old2new_loop = np.full(graph.size, NULL, dtype=np.int64)
-    old2new_loop[ll] = nv + np.arange(len(ll))
-    ml = s.valid & (graph.vid >= 0) & (
-        old2new_loop[np.maximum(graph.vid, 0)] >= 0
-    )
-    vid_new[ml] = old2new_loop[graph.vid[ml]].astype(np.int32)
+    rowmap = np.full(graph.size, NULL, dtype=np.int32)
+    if m:
+        rowmap[lv] = vid_se[:n_l].astype(np.int32)
+    rowmap[ll] = (nv + np.arange(len(ll))).astype(np.int32)
 
-    # --- repair simple-path links at junctions and cut ends
-    nxt_new = graph.nxt.copy()
-    prv_new = graph.prv.copy()
+    grp_sz = np.bincount(chain_of, minlength=max(m, 1))
+    changed_se = (grp_sz[chain_of] > 1) | (se_shift > 0) | in_cycle \
+        if m else np.zeros(0, bool)
+    chfw = np.zeros(graph.size, dtype=bool)
+    chrc = np.zeros(graph.size, dtype=bool)
+    if m:
+        chfw[lv] = changed_se[:n_l]
+        chrc[lv[npal]] = changed_se[n_l:]
+
+    ov = graph.vid
+    safe = np.maximum(ov, 0)
+    okv = (ov >= 0) & s.valid
+
+    # changed edges: either-strand super-edge changed (superset of the
+    # per-strand flag; the strand is resolved sparsely on ce below)
+    ch_row = chfw | chrc
+    ce = np.flatnonzero(ch_row[safe] & okv)
+
+    # per-edge arrays are updated IN PLACE: the caller's old graph is
+    # dead after refresh (and _propagate_changed reads only vid/length
+    # of it, which get fresh arrays). Arrays fresh off the device are
+    # read-only views - take ownership once.
+
+    def _own(a):
+        return a if a.flags.writeable else a.copy()
+
+    chain_start_new = _own(graph.chain_start)
+    edge_pos_new = _own(graph.edge_pos)
+    if len(ce):
+        rows_ce = ov[ce].astype(np.int64)
+        is_fwd_ce = chain_start_new[ce] == graph.start[rows_ce]
+        fwd_se_row = np.full(graph.size, -1, dtype=np.int64)
+        rc_se_row = np.full(graph.size, -1, dtype=np.int64)
+        fwd_se_row[lv] = np.arange(n_l)
+        rc_se_row[lv[npal]] = n_l + np.arange(len(npal))
+        se_ce0 = np.where(is_fwd_ce, fwd_se_row[rows_ce],
+                          rc_se_row[rows_ce])
+        # either-strand superset: keep only rows whose OWN strand se
+        # actually changed
+        own = changed_se[se_ce0]
+        ce, se_ce = ce[own], se_ce0[own]
+        chain_start_new[ce] = se_start[chain_of[se_ce]].astype(np.int32)
+        edge_pos_new[ce] = (offs[se_ce] + graph.edge_pos[ce]
+                            - se_shift[se_ce]).astype(np.int32)
+
+    # --- repair simple-path links at junctions and cut ends (also
+    # in place; see note above)
+    nxt_new = _own(graph.nxt)
+    prv_new = _own(graph.prv)
     if dfw.any():
         prv_new[new_start[dfw]] = NULL
     if drc.any():
@@ -675,12 +712,13 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     # edge (v_start/v_end already follow the reference's rep-slot
     # begin-edge convention; v_start == nxt_new[v_end] by construction)
     new_loops = np.flatnonzero(v_loop)
-    if len(new_loops):
+    if len(new_loops) and len(ce):
+        # new-cycle members are a subset of ce (in_cycle => changed)
         is_new_loop = np.zeros(max(nv, 1), dtype=bool)
         is_new_loop[new_loops] = True
-        memb = mc.copy()
-        memb[mc] = is_new_loop[vid_new[mc]]
-        chain_start_new[memb] = v_end[vid_new[memb]]
+        vce = rowmap[ov[ce]]
+        sel = (vce >= 0) & is_new_loop[np.maximum(vce, 0)]
+        chain_start_new[ce[sel]] = v_end[vce[sel]]
 
     v_rc_start = s.rc[v_end]
     v_rc_end = s.rc[v_start]
@@ -699,8 +737,11 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     perm = np.argsort(a_rep, kind="stable")
     inv = np.empty(len(perm), dtype=np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
-    ok_v = vid_new >= 0
-    vid_new[ok_v] = inv[vid_new[ok_v]]
+    # fold the final row permutation into the V-sized map, then ONE
+    # gather builds the per-edge vid
+    final_map = np.concatenate([inv[np.maximum(rowmap, 0)], [NULL]])
+    final_map[:-1][rowmap < 0] = NULL
+    vid_new = np.where(okv, final_map[safe], NULL).astype(np.int32)
 
     g2 = UnitigGraph(
         graph.k, s,
