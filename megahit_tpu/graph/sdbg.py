@@ -287,6 +287,11 @@ class Sdbg:
         full[self.rc[mask]] = True
         self.valid &= ~full
 
+    def invalidate_idx(self, idx: np.ndarray) -> None:
+        """Index-based invalidate (sparse callers); rc-symmetric."""
+        self.valid[idx] = False
+        self.valid[self.rc[idx]] = False
+
 
 # ---------------------------------------------------------------------------
 # construction
@@ -899,6 +904,10 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
 
     total = 0
     for ln in _tip_schedule(max_tip_len):
+        if ln < 2:
+            # chain_len <= max_len - 1 is unsatisfiable at max_len=1:
+            # the device path and the reference remove nothing
+            continue
         seeds = np.flatnonzero(valid & (odt == 0))
         if len(seeds) == 0:
             continue
@@ -931,7 +940,7 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
         members = np.unique(np.concatenate(
             [members, sdbg.rc[members]]
         ))
-        valid[members] = False
+        sdbg.invalidate_idx(members)  # members already include rc
         # incremental repair: rows referencing a removed edge are
         # exactly the removed rows' candidate entries
         aff = np.concatenate([t[members].ravel() for t in tabs])

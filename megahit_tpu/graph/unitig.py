@@ -334,6 +334,9 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
     rebuild the unitig graph (reference UnitigGraph::Refresh,
     unitig_graph.cpp:210-355).
 
+    CONSUMES `graph`: its per-edge arrays are updated in place and
+    nulled out; only the returned graph is usable afterwards.
+
     The rebuild is CONTRACTED: surviving old chains become super-edges
     and the pointer-doubling ranking runs over them (O(V log V) host
     numpy) instead of over all edges (O(E log E) device rounds) - the
@@ -365,8 +368,7 @@ def _refresh_full(graph, delete, disc_fwd, disc_rc,
     s = graph.sdbg
     kill_idx = _kill_edge_indices(graph, delete, disc_fwd, disc_rc)
     if len(kill_idx):
-        s.valid[kill_idx] = False
-        s.valid[s.rc[kill_idx]] = False
+        s.invalidate_idx(kill_idx)
     g2 = build_unitig_graph(s)
     g2 = _reference_order(graph, g2, disc_fwd, disc_rc)
     _propagate_changed(graph, g2, set_changed)
@@ -461,8 +463,7 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     s = graph.sdbg
     kill_idx = _kill_edge_indices(graph, delete, disc_fwd, disc_rc)
     if len(kill_idx):
-        s.valid[kill_idx] = False
-        s.valid[s.rc[kill_idx]] = False
+        s.invalidate_idx(kill_idx)
 
     live_chain = (~delete) & ~graph.is_loop
     live_loop = (~delete) & graph.is_loop
@@ -739,8 +740,8 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     inv[perm] = np.arange(len(perm), dtype=np.int32)
     # fold the final row permutation into the V-sized map, then ONE
     # gather builds the per-edge vid
-    final_map = np.concatenate([inv[np.maximum(rowmap, 0)], [NULL]])
-    final_map[:-1][rowmap < 0] = NULL
+    final_map = inv[np.maximum(rowmap, 0)]
+    final_map[rowmap < 0] = NULL
     vid_new = np.where(okv, final_map[safe], NULL).astype(np.int32)
 
     g2 = UnitigGraph(
@@ -757,4 +758,9 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         nxt=nxt_new, prv=prv_new,
     )
     _propagate_changed(graph, g2, set_changed)
+    # the old graph's per-edge arrays were consumed (updated in
+    # place); null them so a stale reference fails fast instead of
+    # silently reading the NEW graph's values
+    graph.chain_start = graph.edge_pos = None
+    graph.nxt = graph.prv = None
     return g2

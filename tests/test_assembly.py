@@ -168,3 +168,27 @@ def test_sdbg_compact_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             getattr(h, name)[:h.real], getattr(g, name)[:g.real]
         )
+
+
+def test_tip_removal_max_len_one_removes_nothing():
+    """max_tip_len == 1: chain_len <= max_len - 1 is unsatisfiable, so
+    no tips are removed (matches the device path and the reference;
+    reachable via driver max_tip_len = max(1, ...) at large k)."""
+    import numpy as np
+
+    from megahit_tpu.core import packing
+    from megahit_tpu.graph.sdbg import build_sdbg, remove_tips_sdbg
+
+    rng = np.random.default_rng(17)
+    genome = rng.integers(0, 4, size=800).astype(np.uint8)
+    seqs = [genome[s : s + 120].copy() for s in range(0, 680, 20)]
+    for _ in range(10):  # branch reads that create 1-edge tips
+        s = int(rng.integers(0, 600))
+        seqs.append(np.concatenate(
+            [genome[s : s + 22], rng.integers(0, 4, 1).astype(np.uint8)]
+        ))
+    flat, starts = packing.pack_many(seqs)
+    g = build_sdbg(flat, starts, np.ones(len(seqs), np.int32), 22)
+    before = g.valid.sum()
+    assert remove_tips_sdbg(g, 1) == 0
+    assert g.valid.sum() == before
