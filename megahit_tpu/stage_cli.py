@@ -7,6 +7,8 @@ inspected and resumed independently of the full driver:
 
   python -m megahit_tpu.stage_cli buildlib -1 a_1.fq -2 a_2.fq -o lib.npz
   python -m megahit_tpu.stage_cli count --lib lib.npz -k 21 -m 2 -o k21
+  python -m megahit_tpu.stage_cli read2sdbg --lib lib.npz -k 21 -m 2 \
+      --need-mercy -o k21.sdbg.npz   # 1-pass, out-of-core
   python -m megahit_tpu.stage_cli seq2sdbg --edges k21.edges.npz -k 21 \
       --need-mercy --lib lib.npz -o k21.sdbg.npz
   python -m megahit_tpu.stage_cli assemble -s k21.sdbg.npz -o k21
@@ -54,6 +56,48 @@ def cmd_count(args) -> int:
             fh.write(f"{v} {c}\n")
     print(f"{len(keys)} solid ({args.kmer_k}+1)-mers -> "
           f"{args.output}.edges.npz")
+    return 0
+
+
+def cmd_read2sdbg(args) -> int:
+    """1-pass reads -> SdBG through the out-of-core bucketed builder
+    (reference read2sdbg = S1 solidity count + S2 graph emission,
+    main_sdbg_build.cpp:88-156): the window multiset only ever exists
+    in prefix-bucketed spill files, never as one in-memory edge list."""
+    import os
+    import tempfile
+
+    from .core.kmerops import words_per_kmer
+    from .graph.bucketed import BuildStats, PoolSource, build_sdbg_bucketed
+    from .graph.mercy import find_mercy_edges
+    from .graph.sdbg import sdbg_from_edges
+    from .io.lib import SequenceLib
+
+    lib = SequenceLib.load(args.lib)
+    k1 = args.kmer_k + 1
+    w = words_per_kmer(k1)
+    budget_rows = max(1 << 16, int(args.memory) // (12 * (w + 1)))
+    stats = BuildStats()
+    with tempfile.TemporaryDirectory(prefix="read2sdbg_") as tmp:
+        sdbg = build_sdbg_bucketed(
+            [PoolSource(lib.flat_codes, lib.starts,
+                        np.ones(lib.num_seqs, np.int32))],
+            k1, budget_rows, os.path.join(tmp, "spill"),
+            stats=stats, mult_mode="count", min_count=args.min_count,
+        )
+    if args.need_mercy:
+        idx = np.arange(sdbg.size, dtype=np.int64)
+        canon = sdbg.valid & (idx <= sdbg.rc)
+        keys, counts = sdbg.keys[canon], sdbg.mult[canon]
+        mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys, k1)
+        if len(mercy):
+            keys = np.concatenate([keys, mercy])
+            counts = np.concatenate(
+                [counts, np.ones(len(mercy), np.int32)])
+            sdbg = sdbg_from_edges(keys, counts, k1)
+    sdbg.save(args.output)
+    print(f"sdbg k={k1} ({sdbg.num_valid()} edges, "
+          f"{stats.n_rounds} rounds) -> {args.output}")
     return 0
 
 
@@ -212,6 +256,16 @@ def make_parser() -> argparse.ArgumentParser:
     c.add_argument("-m", dest="min_count", type=int, default=2)
     c.add_argument("-o", "--output", required=True)
     c.set_defaults(fn=cmd_count)
+
+    r = sub.add_parser("read2sdbg")
+    r.add_argument("--lib", required=True)
+    r.add_argument("-k", dest="kmer_k", type=int, required=True)
+    r.add_argument("-m", dest="min_count", type=int, default=2)
+    r.add_argument("--memory", type=float, default=2e9,
+                   help="spill budget in bytes (reference -m)")
+    r.add_argument("--need-mercy", action="store_true")
+    r.add_argument("-o", "--output", required=True)
+    r.set_defaults(fn=cmd_read2sdbg)
 
     s = sub.add_parser("seq2sdbg")
     s.add_argument("--edges")

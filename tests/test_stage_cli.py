@@ -65,3 +65,38 @@ def test_manual_stage_chain(tmp_path):
     rcs = packing.decode(packing.revcomp_codes(best.codes))
     assert (s in g) or (rcs in g)
     assert best.length > 2900
+
+
+def test_read2sdbg_matches_two_pass(tmp_path):
+    """1-pass read2sdbg stage == count + seq2sdbg (same edges, same
+    multiplicities) on a small genome, mercy on and off."""
+    from megahit_tpu.graph.sdbg import Sdbg
+
+    genome = RNG.integers(0, 4, size=2000).astype(np.uint8)
+    p1 = str(tmp_path / "r.fa")
+    rl = 80
+    with open(p1, "w") as fh:
+        for i, s in enumerate(range(0, len(genome) - rl, 3)):
+            fh.write(f">r{i}\n{packing.decode(genome[s:s + rl])}\n")
+    d = str(tmp_path)
+    lib = os.path.join(d, "lib.npz")
+    assert stage(["buildlib", "-r", p1, "-o", lib]) == 0
+    assert stage(["count", "--lib", lib, "-k", "21", "-m", "2",
+                  "-o", os.path.join(d, "k21")]) == 0
+    for mercy in (False, True):
+        args2 = ["seq2sdbg", "--edges", os.path.join(d, "k21.edges.npz"),
+                 "-k", "21", "-o", os.path.join(d, "a.sdbg.npz")]
+        args1 = ["read2sdbg", "--lib", lib, "-k", "21", "-m", "2",
+                 "-o", os.path.join(d, "b.sdbg.npz"),
+                 "--memory", "1e6"]  # tiny budget: forces spill rounds
+        if mercy:
+            args2 += ["--need-mercy", "--lib", lib]
+            args1 += ["--need-mercy"]
+        assert stage(args2) == 0
+        assert stage(args1) == 0
+        a = Sdbg.load(os.path.join(d, "a.sdbg.npz"))
+        b = Sdbg.load(os.path.join(d, "b.sdbg.npz"))
+        ka, kb = a.keys[a.valid], b.keys[b.valid]
+        ma, mb = a.mult[a.valid], b.mult[b.valid]
+        assert ka.shape == kb.shape and (ka == kb).all(), mercy
+        assert (ma == mb).all(), mercy
