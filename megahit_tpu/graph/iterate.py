@@ -17,10 +17,10 @@ binary-search membership, and step-bounded vectorized extension
 matching; runs found with one cumulative sum. No hash set, no per-read
 loop.
 
-Documented deviations from the reference:
-- The reference queries the index only at positions not already marked
-  by a previous extension (a greedy skip); we query every position, a
-  strict superset of marks (only adds evidence-backed edges).
+The reference queries the index only at positions not already marked
+by a previous extension (a greedy left-to-right skip); this is
+reproduced exactly by the host emulation below (:232-251), verified
+against a reference edge-file dump - no deviation remains here.
 
 Junction-edge multiplicity is 0, matching the reference exactly: its
 FeedBatchContigs receives the contig mul but never stores it

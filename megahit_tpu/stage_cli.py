@@ -68,9 +68,9 @@ def cmd_read2sdbg(args) -> int:
     import tempfile
 
     from .core.kmerops import words_per_kmer
-    from .graph.bucketed import BuildStats, PoolSource, build_sdbg_bucketed
+    from .graph.bucketed import (BuildStats, EdgeSource, PoolSource,
+                                 build_sdbg_bucketed)
     from .graph.mercy import find_mercy_edges
-    from .graph.sdbg import sdbg_from_edges
     from .io.lib import SequenceLib
 
     lib = SequenceLib.load(args.lib)
@@ -94,7 +94,15 @@ def cmd_read2sdbg(args) -> int:
             keys = np.concatenate([keys, mercy])
             counts = np.concatenate(
                 [counts, np.ones(len(mercy), np.int32)])
-            sdbg = sdbg_from_edges(keys, counts, k1)
+            # re-finalize through the bucketed builder too, honoring
+            # the same --memory budget (reference S2 mercy merge,
+            # read_to_sdbg_s2.cpp:122-268)
+            del sdbg
+            with tempfile.TemporaryDirectory(prefix="read2sdbg_") as tmp:
+                sdbg = build_sdbg_bucketed(
+                    [EdgeSource(keys, counts)], k1, budget_rows,
+                    os.path.join(tmp, "spill"), mult_mode="max",
+                )
     sdbg.save(args.output)
     print(f"sdbg k={k1} ({sdbg.num_valid()} edges, "
           f"{stats.n_rounds} rounds) -> {args.output}")
