@@ -524,11 +524,13 @@ def build_sdbg_bucketed(
         k, total, len(rounds), budget_rows,
     )
 
-    # ---- pass 2: per-round sort + dedup-max; spill node/rc join rows
-    node_spill = SpillSet(spill_dir, "nodes", w + 2)
-    rc_spill = SpillSet(spill_dir, "rcq", w + 1)
-    round_paths = []
-    offsets = [0]
+    # ---- pass 2: per-round sort + dedup; rounds are in prefix order,
+    # so concatenating their edges yields the globally sorted edge set.
+    # Navigation (run_start/nxt_link/rc) derives lazily from that
+    # sorted set inside Sdbg (graph/sdbg.py _nav_links) - the old
+    # pass 3 (node/rc join spills + two more sorts per round) is gone.
+    all_keys = []
+    all_mult = []
     use_grouped = _use_bucket_sort(mesh)
     for ri, (lo, hi) in enumerate(rounds):
         if use_grouped:
@@ -537,8 +539,6 @@ def build_sdbg_bucketed(
             rows = spill.read_range(lo, hi)
         st.max_round_rows = max(st.max_round_rows, len(rows))
         if len(rows) == 0:
-            round_paths.append(None)
-            offsets.append(offsets[-1])
             continue
         if use_grouped:
             srows = _sort_rows_grouped(rows, bcounts, mesh)
@@ -567,139 +567,15 @@ def build_sdbg_bucketed(
                 edges = edges[solid]
                 mult = mult[solid]
         del srows
-        e = len(edges)
-        off = offsets[-1]
-        gids = (off + np.arange(e, dtype=np.int64)).astype(np.uint32)
-
-        # node-join rows: (node key, eid, kind*4+base) for both the
-        # prefix node (kind 0, base = last) and suffix node (kind 1,
-        # base = first); bucketed by NODE prefix
-        prefix = np_mask_tail(edges, k - 1)
-        suffix = np_mask_tail(np_drop_first_base(edges, k), k - 1)
-        first = np_get_base(edges, 0).astype(np.uint32)
-        last = np_get_base(edges, k - 1).astype(np.uint32)
-        nrows = np.empty((2 * e, w + 2), np.uint32)
-        nrows[:e, :w] = prefix
-        nrows[e:, :w] = suffix
-        nrows[:e, w] = gids
-        nrows[e:, w] = gids
-        nrows[:e, w + 1] = last          # kind 0: out-edge of node
-        nrows[e:, w + 1] = 4 + first     # kind 1: in-edge of node
-        node_spill.append(nrows)
-        del nrows
-
-        # rc queries: (rc key, eid) — answered in the round owning rc key
-        rcq = np.empty((e, w + 1), np.uint32)
-        rcq[:, :w] = np_revcomp(edges, k)
-        rcq[:, w] = gids
-        rc_spill.append(rcq)
-        del rcq
-
-        path = os.path.join(spill_dir, f"round.{ri:04d}.npz")
-        np.savez(path, keys=edges, mult=mult)
-        round_paths.append(path)
-        offsets.append(off + e)
-    spill.cleanup()
-    n_edges = offsets[-1]
-    st.n_edges = n_edges
-
-    # ---- pass 3: per-round node tables + rc join
-    oc_t = np.full((n_edges, 4), NULL, np.int32)
-    ic_t = np.full((n_edges, 4), NULL, np.int32)
-    oc_s = np.full((n_edges, 4), NULL, np.int32)
-    ic_s = np.full((n_edges, 4), NULL, np.int32)
-    rc_idx = np.full(n_edges, NULL, np.int32)
-    all_keys = []
-    all_mult = []
-    for ri, (lo, hi) in enumerate(rounds):
-        if round_paths[ri] is None:
-            continue
-        z = np.load(round_paths[ri])
-        edges, mult = z["keys"], z["mult"]
         all_keys.append(edges)
         all_mult.append(mult)
-        off = offsets[ri]
-        e = len(edges)
-
-        # node grouping (the bucketed form of sdbg._neighbor_tables'
-        # sort-join): rows sorted by node key; per-group (out, in)
-        # tables indexed by base, then scattered to the rows' edges
-        if use_grouped:
-            nrows, nbc = node_spill.read_range_grouped(lo, hi)
-            snode = _sort_rows_grouped(nrows, nbc, mesh)
-        else:
-            nrows = node_spill.read_range(lo, hi)
-            snode = _sort_rows(nrows, mesh)
-        del nrows
-        nkeys = snode[:, :w]
-        eid = snode[:, w].astype(np.int64)
-        aux = snode[:, w + 1]
-        head = np.empty(len(nkeys), dtype=bool)
-        if len(nkeys):
-            head[0] = True
-            np.any(nkeys[1:] != nkeys[:-1], axis=1, out=head[1:])
-        gid_local = np.cumsum(head, dtype=np.int64) - 1
-        n_groups = int(gid_local[-1]) + 1 if len(nkeys) else 0
-        tabs = np.full(n_groups * 8 + 1, NULL, np.int32)
-        tabs[gid_local * 8 + aux] = eid.astype(np.int32)
-        tabs = tabs[:-1].reshape(n_groups, 2, 4)
-        out_tab = tabs[gid_local, 0]  # (R, 4)
-        in_tab = tabs[gid_local, 1]
-        is_prefix = aux < 4
-        oc_s[eid[is_prefix]] = out_tab[is_prefix]
-        ic_s[eid[is_prefix]] = in_tab[is_prefix]
-        oc_t[eid[~is_prefix]] = out_tab[~is_prefix]
-        ic_t[eid[~is_prefix]] = in_tab[~is_prefix]
-        del snode, nkeys, gid_local, tabs, out_tab, in_tab
-
-        # rc join: tag-paired sort (edge rows tag 0, query rows tag 1);
-        # rc is a bijection so rows pair up exactly 2-by-2
-        if use_grouped:
-            rcq, rbc = rc_spill.read_range_grouped(lo, hi)
-        else:
-            rcq = rc_spill.read_range(lo, hi)
-        assert len(rcq) == e, (len(rcq), e)
-        pa = np.empty((e, w + 2), np.uint32)
-        pa[:, :w] = edges
-        pa[:, w] = 0
-        pa[:, w + 1] = (off + np.arange(e, dtype=np.int64)).astype(
-            np.uint32
-        )
-        pb = np.empty((e, w + 2), np.uint32)
-        pb[:, :w] = rcq[:, :w]
-        pb[:, w] = 1
-        pb[:, w + 1] = rcq[:, w]
-        del rcq
-        if use_grouped:
-            # edges are sorted, so their fine-bucket counts fall out of
-            # a searchsorted; merge the grouped halves bucket-wise
-            ebc = _fine_bucket_counts(pa[:, 0], lo, hi)
-            pair, pbc = _merge_grouped(pa, ebc, pb, rbc)
-            del pa, pb
-            spair = _sort_rows_grouped(pair, pbc, mesh)
-        else:
-            pair = np.concatenate([pa, pb], axis=0)
-            del pa, pb
-            spair = _sort_rows(pair, mesh)
-        del pair
-        a = spair[0::2]
-        b = spair[1::2]
-        assert (a[:, :w] == b[:, :w]).all() and (a[:, w] == 0).all() \
-            and (b[:, w] == 1).all(), "rc pairing: edge set not closed"
-        rc_idx[b[:, w + 1].astype(np.int64)] = a[:, w + 1].astype(
-            np.int32
-        )
-        del spair
-    node_spill.cleanup()
-    rc_spill.cleanup()
-    for p in round_paths:
-        if p is not None:
-            os.remove(p)
+    spill.cleanup()
 
     keys = np.concatenate(all_keys, axis=0) if all_keys else \
         np.zeros((0, w), np.uint32)
     mult = np.concatenate(all_mult) if all_mult else \
         np.zeros(0, np.int32)
+    st.n_edges = len(keys)
     from .sdbg import _make_sdbg
 
-    return _make_sdbg(keys, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k)
+    return _make_sdbg(keys, mult, k)

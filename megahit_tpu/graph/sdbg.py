@@ -7,19 +7,29 @@ are present (the edge set is closed under reverse complement).
 
 Representation redesign: instead of the reference's BWT-style W array +
 rank/select bitvectors (src/kmlib/kmrns.h) navigated one edge at a time,
-we store the sorted multi-word k-mer keys themselves plus four
-precomputed neighbour-candidate index tables:
+we store the sorted multi-word k-mer keys themselves plus a compact
+RUN-based navigation core (round 3; ~12 B/edge, replacing the four
+eagerly-stored (E,4) tables at ~68 B/edge):
 
-  oc_t[e][c] = index of edge  key(e)[1:] + c      (out-edges of target)
-  ic_t[e][c] = index of edge  c + key(e)[1:]      (in-edges  of target)
-  oc_s[e][c] = index of edge  key(e)[:k-1] + c    (out-edges of source)
-  ic_s[e][c] = index of edge  c + key(e)[:k-1]    (in-edges  of source)
+  Edges are sorted lexicographically, so all edges sharing a source
+  (k-1)-prefix form one CONSECUTIVE RUN of <= 4 rows. Navigation state:
+    run_start[e] = first edge of e's prefix run
+    nxt_link[e]  = first edge of the run whose prefix == suffix(e)
+                   (-1 if no edge leaves e's target node)
+    rc[e]        = index of e's reverse complement
+  All four neighbour-candidate sets fall out by strand symmetry:
+    out-edges of target(e)  = run(nxt_link[e])
+    out-edges of source(e)  = run(run_start[e])          (e's siblings)
+    in-edges  of target(e)  = rc[run(run_start[rc[e]])]
+    in-edges  of source(e)  = rc[run(nxt_link[rc[e]])]
 
-(-1 where the k-mer does not exist). Degree queries and simple-path
-navigation then become masked gathers over whole edge frontiers - no
-rank/select chains, no data-dependent control flow, no locks. Edge
-deletion flips bits in a `valid` mask only (like the reference's
-mutable validity bitvector over a static structure, sdbg.h:88-94).
+The (E, 4) candidate tables oc_t/ic_t/oc_s/ic_s remain available as
+lazily-materialized views (slots position-packed, NOT base-indexed; -1
+padding). Degree queries and simple-path navigation are masked gathers
+over whole edge frontiers - no rank/select chains, no data-dependent
+control flow, no locks. Edge deletion flips bits in a `valid` mask only
+(like the reference's mutable validity bitvector over a static
+structure, sdbg.h:88-94).
 
 Deviation from the reference (documented): adjacency is node-level
 (any in-edge of a node connects to any out-edge); the reference
@@ -63,57 +73,96 @@ class Sdbg:
     """
 
     def __init__(self, k, keys, mult, rc=None, oc_t=None, ic_t=None,
-                 oc_s=None, ic_s=None, valid=None, real=None):
+                 oc_s=None, ic_s=None, valid=None, real=None,
+                 run_start=None, nxt_link=None):
         self.k = int(k)
         self.keys = keys
         self.mult = mult
         self.valid = valid if valid is not None \
             else np.ones(len(keys), dtype=bool)
         # number of non-padding rows (padding rows carry sentinel keys
-        # and are excluded from table derivation)
+        # and are excluded from nav derivation)
         self.real = len(keys) if real is None else int(real)
-        self._rc, self._oc_t, self._ic_t = rc, oc_t, ic_t
+        self._rc = rc
+        self._run_start, self._nxt_link = run_start, nxt_link
+        self._oc_t, self._ic_t = oc_t, ic_t
         self._oc_s, self._ic_s = oc_s, ic_s
         self._ref_rank = None
 
-    def _ensure_tables(self) -> None:
-        if self._rc is not None and self._oc_t is not None:
+    def _ensure_nav(self) -> None:
+        """Derive the compact navigation core (run_start, nxt_link, rc)
+        from the sorted keys; pad rows are inert (self-rc, own-index
+        run, no link)."""
+        if self._run_start is not None and self._rc is not None:
             return
         e, cap = self.real, self.size
-        w = self.keys.shape[1] if self.keys.ndim == 2 else 1
+        if self._oc_t is not None and self._run_start is None:
+            # eager tables injected (old-format load): nav falls out -
+            # tables are static, so min over slots = run start
+            ot, os_ = np.asarray(self._oc_t), np.asarray(self._oc_s)
+            big = np.int32(np.iinfo(np.int32).max)
+            rs = np.where(os_ >= 0, os_, big).min(axis=1)
+            nl = np.where(ot >= 0, ot, big).min(axis=1)
+            self._run_start = np.where(rs == big,
+                                       np.arange(cap, dtype=np.int32),
+                                       rs).astype(np.int32)
+            self._nxt_link = np.where(nl == big, NULL, nl).astype(
+                np.int32)
+            return
         if e == 0:
             self._rc = np.arange(cap, dtype=np.int32)
-            z4 = np.full((cap, 4), NULL, np.int32)
-            self._oc_t, self._ic_t = z4, z4.copy()
-            self._oc_s, self._ic_s = z4.copy(), z4.copy()
+            self._run_start = np.arange(cap, dtype=np.int32)
+            self._nxt_link = np.full(cap, NULL, np.int32)
             return
-        rc, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
-            _dev(self.keys[:e]), self.k
+        run_start, nxt_link, rc = _nav_links(
+            np.asarray(self.keys[:e]), self.k
         )
         padn = cap - e
-
-        def pad4(a):
-            a = np.asarray(a)
-            if not padn:
-                return a
-            out = np.empty((cap, 4), np.int32)
-            out[:e] = a
-            out[e:] = NULL
-            return out
-
         if padn:
-            self._rc = np.empty(cap, np.int32)
-            self._rc[:e] = np.asarray(rc)
-            self._rc[e:] = np.arange(e, cap, dtype=np.int32)
+            tailr = np.arange(e, cap, dtype=np.int32)
+            if self._rc is None:
+                self._rc = np.concatenate([rc, tailr])
+            self._run_start = np.concatenate([run_start, tailr])
+            self._nxt_link = np.concatenate(
+                [nxt_link, np.full(padn, NULL, np.int32)]
+            )
         else:
-            self._rc = np.asarray(rc)
-        self._oc_t, self._ic_t = pad4(oc_t), pad4(ic_t)
-        self._oc_s, self._ic_s = pad4(oc_s), pad4(ic_s)
+            if self._rc is None:
+                self._rc = rc
+            self._run_start = run_start
+            self._nxt_link = nxt_link
+
+    def _ensure_tables(self) -> None:
+        """Materialize the (E, 4) candidate views from the nav core
+        (kept for the remaining table consumers; slots are position-
+        packed within each run, ascending, padded with -1)."""
+        if self._oc_t is not None:
+            return
+        self._ensure_nav()
+        rs, nl, rc = self._run_start, self._nxt_link, self._rc
+        self._oc_t = _run4(nl, rs, self.real)
+        self._oc_s = _run4(rs, rs, self.real)
+        it = _run4(rs[rc], rs, self.real)
+        self._ic_t = np.where(it >= 0, rc[np.maximum(it, 0)],
+                              NULL).astype(np.int32)
+        is_ = _run4(nl[rc], rs, self.real)
+        self._ic_s = np.where(is_ >= 0, rc[np.maximum(is_, 0)],
+                              NULL).astype(np.int32)
 
     @property
     def rc(self) -> np.ndarray:
-        self._ensure_tables()
+        self._ensure_nav()
         return self._rc
+
+    @property
+    def run_start(self) -> np.ndarray:
+        self._ensure_nav()
+        return self._run_start
+
+    @property
+    def nxt_link(self) -> np.ndarray:
+        self._ensure_nav()
+        return self._nxt_link
 
     @property
     def oc_t(self) -> np.ndarray:
@@ -193,18 +242,37 @@ class Sdbg:
 
         return packing.unpack_words(self.keys[e], self.k)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, fmt: str = "compact") -> None:
         """Persist the graph (the analogue of the reference's
         .sdbg.{tid} + .sdbg_info shards, sdbg_writer.cpp:25-80 -
         redesigned as one npz since there is no per-thread sharding).
 
-        At-rest format is the COMPACT core: only canonical-strand rows
-        (key <= rc(key); the set is closed under revcomp and mult/
-        valid are strand-symmetric), multiplicity as uint16 (KMAX_MUL
-        clamps to 65535, matching the reference's kMaxMul), validity
-        bit-packed. ~5 B/edge at W=2; rc + candidate tables rebuild on
-        first navigation after load."""
+        fmt="compact" (default, ~5 B/edge at W=2): only canonical-
+        strand rows (key <= rc(key); the set is closed under revcomp
+        and mult/valid are strand-symmetric), multiplicity as uint16
+        (KMAX_MUL clamps to 65535, matching the reference's kMaxMul),
+        validity bit-packed. Navigation rebuilds on first use after
+        load.
+
+        fmt="nav" (~22 B/edge at W=2): the full sorted row set plus the
+        derived navigation core, so load is pure I/O - used by the
+        pipeline for its tmp k-stage artifacts, where reload speed
+        beats disk (the reference keeps its .sdbg shards loaded-form-
+        adjacent for the same reason, sdbg_raw_content.cpp:18-95)."""
         e = self.real
+        if fmt == "nav":
+            self._ensure_nav()
+            np.savez(
+                path, k=np.int64(self.k), format=np.int64(3),
+                keys=self.keys[:e],
+                mult=np.asarray(self.mult[:e], dtype=np.uint16),
+                valid=np.packbits(self.valid[:e]),
+                rc=self._rc[:e].astype(np.int32),
+                run_start=self._run_start[:e].astype(np.int32),
+                nxt_link=self._nxt_link[:e].astype(np.int32),
+                n_real=np.int64(e),
+            )
+            return
         keys = self.keys[:e]
         if e:
             rck = np.asarray(
@@ -238,6 +306,36 @@ class Sdbg:
                 oc_s=z["oc_s"], ic_s=z["ic_s"], valid=z["valid"],
             )
         k = int(z["k"])
+        if int(z["format"]) == 3:  # nav format: pure I/O load
+            e = int(z["n_real"])
+            keys, rc = z["keys"], z["rc"]
+            rs, nl = z["run_start"], z["nxt_link"]
+            mult = z["mult"].astype(np.int32)
+            valid = np.unpackbits(z["valid"], count=e).astype(bool)
+            cap = _pow2_pad(max(e, 16))
+            padn = cap - e
+            if padn:
+                w = keys.shape[1]
+                kp = np.empty((cap, w), np.uint32)
+                kp[:e] = keys
+                kp[e:] = 0xFFFFFFFF
+                tail = np.arange(e, cap, dtype=np.int32)
+
+                def padv(a, fillv):
+                    out = np.empty(cap, a.dtype)
+                    out[:e] = a
+                    out[e:] = fillv
+                    return out
+
+                return cls(
+                    k=k, keys=kp, mult=padv(mult, 0),
+                    rc=np.concatenate([rc, tail]),
+                    run_start=np.concatenate([rs, tail]),
+                    nxt_link=padv(nl, NULL),
+                    valid=padv(valid, False), real=e,
+                )
+            return cls(k=k, keys=keys, mult=mult, rc=rc,
+                       run_start=rs, nxt_link=nl, valid=valid, real=e)
         ckeys = z["keys"]
         n = int(z["n_canon"])
         n_real = int(z["n_real"])
@@ -246,8 +344,7 @@ class Sdbg:
         if n == 0:
             return _make_sdbg(
                 np.zeros((0, kmerops.words_per_kmer(k)), np.uint32),
-                np.zeros(0, np.int32), np.zeros(0, np.int32),
-                *(np.zeros((0, 4), np.int32) for _ in range(4)), k,
+                np.zeros(0, np.int32), k,
             )
         # restore the full strand-closed set: add rc rows, re-sort,
         # drop the palindrome duplicates. The sorted reconstructed
@@ -291,6 +388,98 @@ class Sdbg:
         """Index-based invalidate (sparse callers); rc-symmetric."""
         self.valid[idx] = False
         self.valid[self.rc[idx]] = False
+
+
+# ---------------------------------------------------------------------------
+# navigation core derivation (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _run4(starts: np.ndarray, run_start: np.ndarray, real: int
+          ) -> np.ndarray:
+    """(N,) run-start indices (or -1) -> (N, 4) member rows of each
+    run: runs are <= 4 CONSECUTIVE rows (same (k-1)-prefix, distinct
+    last base); -1 padded, ascending."""
+    n = len(starts)
+    if n == 0 or real == 0:
+        return np.full((n, 4), NULL, np.int32)
+    safe = np.maximum(starts, 0)
+    idx = safe[:, None] + np.arange(4, dtype=np.int32)[None, :]
+    clip = np.minimum(idx, real - 1)
+    ok = (starts[:, None] >= 0) & (idx < real) \
+        & (run_start[clip] == safe[:, None])
+    return np.where(ok, idx, NULL).astype(np.int32)
+
+
+def _void_rows(keys: np.ndarray) -> np.ndarray:
+    """(E, W) uint32 -> (E,) void view whose memcmp order equals the
+    lexicographic word order (big-endian byte layout)."""
+    be = np.ascontiguousarray(keys).astype(">u4")
+    return be.view(np.dtype((np.void, 4 * keys.shape[1]))).ravel()
+
+
+def _nav_links(keys: np.ndarray, k: int):
+    """(run_start, nxt_link, rc) for SORTED (E, W) keys, host numpy.
+
+    Exploits sortedness (every Sdbg constructor sorts): prefix runs are
+    consecutive, so run_start is a head-flag scan; the suffix join and
+    the rc pairing are single binary searches. Replaces the 2E-row
+    sort-join of _neighbor_tables on the host path - measured 75 s ->
+    ~8 s at 25M edges (k=22)."""
+    e = len(keys)
+    idx = np.arange(e, dtype=np.int32)
+    if e == 0:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), z.copy()
+    if k <= 32 and keys.shape[1] <= 2:
+        c = np.uint64
+        u = kmerops.keys_to_u64_words(keys) if keys.shape[-1] == 2 \
+            else keys[:, 0].astype(np.uint64) << c(32)
+        # runs-are-consecutive requires sorted keys; every constructor
+        # sorts, so violation is a bug, not an input condition
+        assert np.all(u[1:] >= u[:-1]), "Sdbg keys must be sorted"
+        node_mask = ~c(0) << c(64 - 2 * (k - 1))
+        prefix = u & node_mask
+        head = np.empty(e, dtype=bool)
+        head[0] = True
+        np.not_equal(prefix[1:], prefix[:-1], out=head[1:])
+        run_start = np.maximum.accumulate(
+            np.where(head, idx, 0)).astype(np.int32)
+        hrows = idx[head]
+        hpref = prefix[head]
+        suffix = (u << c(2)) & node_mask
+        pos = np.searchsorted(hpref, suffix)
+        posc = np.minimum(pos, len(hrows) - 1)
+        found = hpref[posc] == suffix
+        nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
+        rc_u = (kmerops._reverse_bases_u64(~u) << c(2 * (32 - k))) \
+            & (~c(0) << c(64 - 2 * k))
+        rc = np.searchsorted(u, rc_u).astype(np.int32)
+        return run_start, nxt_link, rc
+
+    # general multi-word path: big-endian void views memcmp-compare in
+    # exact lexicographic word order (tested) - one binary search per
+    # join, no 2E-row sort
+    assert e <= 1 or np.all(keys[1:, 0] >= keys[:-1, 0]), \
+        "Sdbg keys must be sorted"
+    prefix = np.asarray(kmerops.mask_tail(keys, k - 1))
+    head = np.empty(e, dtype=bool)
+    head[0] = True
+    np.any(prefix[1:] != prefix[:-1], axis=1, out=head[1:])
+    run_start = np.maximum.accumulate(
+        np.where(head, idx, 0)).astype(np.int32)
+    hrows = idx[head]
+    hpref = prefix[head]
+    suffix = np.asarray(kmerops.mask_tail(
+        np.asarray(kmerops.drop_first_base(keys, k)), k - 1))
+    pos = np.searchsorted(_void_rows(hpref), _void_rows(suffix))
+    posc = np.minimum(pos, len(hrows) - 1)
+    found = (hpref[posc] == suffix).all(axis=1)
+    nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
+    rck = np.asarray(kmerops.revcomp_kmers(keys, k))
+    rc = np.searchsorted(_void_rows(keys), _void_rows(rck)).astype(
+        np.int32)
+    return run_start, nxt_link, rc
 
 
 # ---------------------------------------------------------------------------
@@ -543,17 +732,13 @@ def build_sdbg(
     w = kmerops.words_per_kmer(k)
     n_bases = int(starts[-1])
     if n_bases < k:
-        z4 = np.zeros((0, 4), dtype=np.int32)
-        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
-                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
-                    z4.copy(), np.zeros(0, bool))
+        return Sdbg(k, np.zeros((0, w), np.uint32),
+                    np.zeros(0, np.int32), valid=np.zeros(0, bool))
     valid_all = window_valid_mask(starts, k, n_bases)
     n = int(valid_all.sum())
     if n == 0:
-        z4 = np.zeros((0, 4), dtype=np.int32)
-        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
-                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
-                    z4.copy(), np.zeros(0, bool))
+        return Sdbg(k, np.zeros((0, w), np.uint32),
+                    np.zeros(0, np.int32), valid=np.zeros(0, bool))
 
     keys, mults = window_edge_multiset(
         flat_codes, starts, seq_mults, k, valid_all, batch_windows
@@ -624,10 +809,8 @@ def sdbg_from_edges(
     n = len(keys)
     w = kmerops.words_per_kmer(k)
     if n == 0:
-        z4 = np.zeros((0, 4), dtype=np.int32)
-        return Sdbg(k, np.zeros((0, w), np.uint32), np.zeros(0, np.int32),
-                    np.zeros(0, np.int32), z4, z4.copy(), z4.copy(),
-                    z4.copy(), np.zeros(0, bool))
+        return Sdbg(k, np.zeros((0, w), np.uint32),
+                    np.zeros(0, np.int32), valid=np.zeros(0, bool))
     rc = np.asarray(kmerops.revcomp_kmers(_dev(keys), k))
     both = np.concatenate([keys, rc], axis=0)
     mults = np.concatenate([edge_mults, edge_mults]).astype(np.int32)
@@ -667,26 +850,21 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     edges = skeys[keep]
     mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
 
-    rc_idx, oc_t, ic_t, oc_s, ic_s = _neighbor_tables(
-        _dev(edges), k
-    )
-    sdbg = _make_sdbg(
-        edges, mult, np.asarray(rc_idx), np.asarray(oc_t),
-        np.asarray(ic_t), np.asarray(oc_s), np.asarray(ic_s), k,
-    )
+    sdbg = _make_sdbg(edges, mult, k)
     log.debug("sdbg k=%d: %d windows -> %d edges (cap %d)",
               k, n_windows, len(edges), sdbg.size)
     return sdbg
 
 
-def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
-    """Assemble the Sdbg from finished per-edge arrays with capacity
-    padding and an rc spot-check (shared by the in-memory finalize and
-    the out-of-core bucketed builder)."""
+def _make_sdbg(edges, mult, k, rc_idx=None) -> Sdbg:
+    """Assemble the Sdbg from sorted dedup'd edges with capacity
+    padding (shared by the in-memory finalize and the out-of-core
+    bucketed builder). Navigation (run_start/nxt_link/rc) derives
+    lazily from the sorted keys; a precomputed rc may be injected."""
     e = len(edges)
     w = kmerops.words_per_kmer(k)
-    # spot-check the rc pairing (full check would re-derive the join)
-    if e:
+    if rc_idx is not None and e:
+        # spot-check an injected rc pairing
         sample = np.arange(0, e, max(1, e // 1024))
         rc_sample = np.asarray(
             kmerops.revcomp_kmers(_dev(edges[sample]), k)
@@ -719,20 +897,21 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
         keys_p = np.empty((cap, w), np.uint32)
         keys_p[:e] = edges
         keys_p[e:] = 0xFFFFFFFF
-        rc_p = np.empty(cap, rc_idx.dtype)
-        rc_p[:e] = rc_idx
-        rc_p[e:] = np.arange(e, cap, dtype=rc_idx.dtype)
     else:
-        keys_p, rc_p = edges, rc_idx
+        keys_p = edges
+    rc_p = None
+    if rc_idx is not None:
+        if padn:
+            rc_p = np.empty(cap, np.int32)
+            rc_p[:e] = rc_idx
+            rc_p[e:] = np.arange(e, cap, dtype=np.int32)
+        else:
+            rc_p = np.asarray(rc_idx, dtype=np.int32)
     sdbg = Sdbg(
         k=k,
         keys=keys_p,
         mult=padi(mult, 0),
         rc=rc_p,
-        oc_t=padi(oc_t, NULL),
-        ic_t=padi(ic_t, NULL),
-        oc_s=padi(oc_s, NULL),
-        ic_s=padi(ic_s, NULL),
         valid=np.concatenate(
             [np.ones(e, bool), np.zeros(padn, bool)]
         ),
@@ -744,50 +923,73 @@ def _make_sdbg(edges, mult, rc_idx, oc_t, ic_t, oc_s, ic_s, k) -> Sdbg:
 
 
 # ---------------------------------------------------------------------------
-# navigation (vectorized over all edges)
+# navigation (vectorized over edge frontiers, run-based)
 # ---------------------------------------------------------------------------
 
 
-def _cand_valid(cand: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """(E,4) candidate indices -> (E,4) bool: candidate exists and valid."""
-    safe = jnp.maximum(cand, 0)
-    return (cand >= 0) & valid[safe]
+def cands_at(sdbg: "Sdbg", rows: np.ndarray, which: str) -> np.ndarray:
+    """(len(rows), 4) candidate edge indices for the given rows, -1
+    padded - the sparse (frontier-shaped) replacement for indexing the
+    old global (E, 4) tables. which: oc_t | oc_s | ic_t | ic_s."""
+    rs, nl, rc = sdbg.run_start, sdbg.nxt_link, sdbg.rc
+    rows = np.asarray(rows)
+    if which == "oc_t":
+        return _run4(nl[rows], rs, sdbg.real)
+    if which == "oc_s":
+        return _run4(rs[rows], rs, sdbg.real)
+    if which == "ic_t":
+        m = _run4(rs[rc[rows]], rs, sdbg.real)
+    elif which == "ic_s":
+        m = _run4(nl[rc[rows]], rs, sdbg.real)
+    else:
+        raise ValueError(which)
+    return np.where(m >= 0, rc[np.maximum(m, 0)], NULL).astype(np.int32)
 
 
-def degrees(sdbg_arrays, valid):
-    """Returns (outdeg_t, indeg_t, outdeg_s, indeg_s), each (E,) int32."""
-    oc_t, ic_t, oc_s, ic_s = sdbg_arrays
-    return (
-        _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32),
-        _cand_valid(ic_t, valid).sum(-1, dtype=jnp.int32),
-        _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32),
-        _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32),
-    )
+def _run_members_valid(starts, run_start, valid):
+    """jit: (N,) run-start indices -> ((N,4) valid-member mask,
+    (N,4) member rows). Pad rows are inert (own-index run, invalid)."""
+    cap = valid.shape[0]
+    safe = jnp.maximum(starts, 0)
+    idx = safe[:, None] + jnp.arange(4, dtype=starts.dtype)[None, :]
+    clip = jnp.minimum(idx, cap - 1)
+    ok = (starts >= 0)[:, None] & (run_start[clip] == safe[:, None]) \
+        & valid[clip]
+    return ok, clip
 
 
-def _unique_valid(cand, valid):
-    """The single valid candidate per row (assuming exactly one), else -1."""
-    cv = _cand_valid(cand, valid)
-    return jnp.max(jnp.where(cv, cand, NULL), axis=-1)
+def _unique_member(ok, rows):
+    """The single flagged row (assuming exactly one), else -1."""
+    return jnp.max(jnp.where(ok, rows, NULL), axis=-1)
 
 
 @jax.jit
-def simple_path_links(oc_t, ic_t, oc_s, ic_s, valid):
+def simple_path_links(run_start, nxt_link, rc, valid):
     """next[e], prev[e]: the simple-path successor/predecessor, -1 if none.
 
     next[e] = the unique out-edge f of target(e) when target(e) has
     out-degree 1 and in-degree 1 (reference SDBG::NextSimplePathEdge,
-    sdbg.h:418-427); prev is symmetric (PrevSimplePathEdge, sdbg.h:404-412).
+    sdbg.h:418-427); prev is symmetric (PrevSimplePathEdge,
+    sdbg.h:404-412). In-edge sets come by strand symmetry: in-edges of
+    a node are the rc of the out-edges of the rc node, and validity is
+    rc-symmetric, so degrees count pre-rc rows directly.
     """
-    odt = _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32)
-    idt = _cand_valid(ic_t, valid).sum(-1, dtype=jnp.int32)
-    ods = _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32)
-    ids = _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32)
+    ok_ot, rows_ot = _run_members_valid(nxt_link, run_start, valid)
+    odt = ok_ot.sum(-1, dtype=jnp.int32)
+    ok_it, _ = _run_members_valid(run_start[rc], run_start, valid)
+    idt = ok_it.sum(-1, dtype=jnp.int32)
+    ok_os, _ = _run_members_valid(run_start, run_start, valid)
+    ods = ok_os.sum(-1, dtype=jnp.int32)
+    ok_is, rows_is = _run_members_valid(nxt_link[rc], run_start, valid)
+    ids = ok_is.sum(-1, dtype=jnp.int32)
     nxt = jnp.where(
-        valid & (odt == 1) & (idt == 1), _unique_valid(oc_t, valid), NULL
+        valid & (odt == 1) & (idt == 1), _unique_member(ok_ot, rows_ot),
+        NULL,
     )
+    prv_pre = _unique_member(ok_is, rows_is)
     prv = jnp.where(
-        valid & (ids == 1) & (ods == 1), _unique_valid(ic_s, valid), NULL
+        valid & (ids == 1) & (ods == 1) & (prv_pre >= 0),
+        rc[jnp.maximum(prv_pre, 0)], NULL,
     )
     return nxt, prv
 
@@ -798,7 +1000,7 @@ def simple_path_links(oc_t, ic_t, oc_s, ic_s, valid):
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
-def _trim_tips_once(oc_t, ic_t, oc_s, ic_s, valid, max_len: int):
+def _trim_tips_once(run_start, nxt_link, rc, valid, max_len: int):
     """One Trim(len) pass: a chain ending in an out-degree-0 edge is a
     tip when it is <= max_len edges long and detaches at its start
     (dead start or branch) - remove it and its reverse complement.
@@ -815,11 +1017,14 @@ def _trim_tips_once(oc_t, ic_t, oc_s, ic_s, valid, max_len: int):
     this pass; invalidate() removes rc(path) too.
     """
     e = valid.shape[0]
-    odt = _cand_valid(oc_t, valid).sum(-1, dtype=jnp.int32)
-    ids_ = _cand_valid(ic_s, valid).sum(-1, dtype=jnp.int32)
-    ods = _cand_valid(oc_s, valid).sum(-1, dtype=jnp.int32)
+    ok_ot, _ = _run_members_valid(nxt_link, run_start, valid)
+    odt = ok_ot.sum(-1, dtype=jnp.int32)
+    ok_is, _ = _run_members_valid(nxt_link[rc], run_start, valid)
+    ids_ = ok_is.sum(-1, dtype=jnp.int32)
+    ok_os, _ = _run_members_valid(run_start, run_start, valid)
+    ods = ok_os.sum(-1, dtype=jnp.int32)
 
-    nxt, prv = simple_path_links(oc_t, ic_t, oc_s, ic_s, valid)
+    nxt, prv = simple_path_links(run_start, nxt_link, rc, valid)
     idx = jnp.arange(e, dtype=jnp.int32)
     n = jnp.where(nxt >= 0, nxt, idx)
     p = jnp.where(prv >= 0, prv, idx)
@@ -869,36 +1074,36 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
     Degrees and simple-path links are computed once over all edges,
     then updated INCREMENTALLY around each removal (the only rows a
     removal can affect are the valid entries of the removed rows'
-    four candidate tables). Identical marks to _trim_tips_once."""
+    four candidate sets). Identical marks to _trim_tips_once."""
     log = get_logger()
     valid = sdbg.valid
-    tabs = (sdbg.oc_t, sdbg.ic_t, sdbg.oc_s, sdbg.ic_s)
 
-    def cand_deg(t, rows=None):
-        tt = t if rows is None else t[rows]
+    def cand_deg(which, rows=None):
+        tt = cands_at(sdbg, rows, which) if rows is not None else \
+            cands_at(sdbg, np.arange(sdbg.size), which)
         return ((tt >= 0) & valid[np.maximum(tt, 0)]).sum(
             axis=-1, dtype=np.int32)
 
-    def unique_valid(t, rows):
-        tt = t[rows]
+    def unique_valid(which, rows):
+        tt = cands_at(sdbg, rows, which)
         cv = (tt >= 0) & valid[np.maximum(tt, 0)]
         return np.max(np.where(cv, tt, NULL), axis=-1)
 
     # only the out-degree (seed detection) is materialized; prv links
     # and start-classification degrees are computed lazily at the
     # (sparse) rows the walks actually touch. -2 = not yet computed.
-    odt = cand_deg(tabs[0])
+    odt = cand_deg("oc_t")
     UNK = np.int32(-2)
     prv = np.full(sdbg.size, UNK, dtype=np.int32)
 
     def prv_at(rows):
         need = rows[prv[rows] == UNK]
         if len(need):
-            ids_n = cand_deg(tabs[3], need)
-            ods_n = cand_deg(tabs[2], need)
+            ids_n = cand_deg("ic_s", need)
+            ods_n = cand_deg("oc_s", need)
             prv[need] = np.where(
                 valid[need] & (ids_n == 1) & (ods_n == 1),
-                unique_valid(tabs[3], need), NULL,
+                unique_valid("ic_s", need), NULL,
             )
         return prv[rows]
 
@@ -925,8 +1130,8 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
             aliv = step
             traj.append(np.where(step, cur, NULL))
         complete = prv_at(cur) < 0  # walked to the chain start
-        ids_c = cand_deg(tabs[3], cur)
-        ods_c = cand_deg(tabs[2], cur)
+        ids_c = cand_deg("ic_s", cur)
+        ods_c = cand_deg("oc_s", cur)
         tip = complete & (
             (ids_c == 0) | ((ids_c == 1) & (ods_c != 1))
         )
@@ -943,11 +1148,14 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
         sdbg.invalidate_idx(members)  # members already include rc
         # incremental repair: rows referencing a removed edge are
         # exactly the removed rows' candidate entries
-        aff = np.concatenate([t[members].ravel() for t in tabs])
+        aff = np.concatenate([
+            cands_at(sdbg, members, w_).ravel()
+            for w_ in ("oc_t", "ic_t", "oc_s", "ic_s")
+        ])
         aff = np.unique(aff[aff >= 0])
         aff = aff[valid[aff]]
         if len(aff):
-            odt[aff] = cand_deg(tabs[0], aff)
+            odt[aff] = cand_deg("oc_t", aff)
             prv[aff] = UNK  # recompute lazily if a walk reaches them
         odt[members] = 0
         prv[members] = NULL
@@ -967,8 +1175,8 @@ def remove_tips_sdbg(sdbg: Sdbg, max_tip_len: int) -> int:
     for ln in _tip_schedule(max_tip_len):
         valid = jnp.asarray(sdbg.valid)
         to_remove, n = _trim_tips_once(
-            jnp.asarray(sdbg.oc_t), jnp.asarray(sdbg.ic_t),
-            jnp.asarray(sdbg.oc_s), jnp.asarray(sdbg.ic_s), valid, int(ln)
+            jnp.asarray(sdbg.run_start), jnp.asarray(sdbg.nxt_link),
+            jnp.asarray(sdbg.rc), valid, int(ln)
         )
         to_remove = np.asarray(to_remove)
         total += int(n)

@@ -120,9 +120,11 @@ class UnitigGraph:
         candidate j enters neighbour `nbr_vid` in orientation
         `nbr_strand` (0 = its forward chain, 1 = its rc chain).
         """
+        from .sdbg import cands_at
+
         s = self.sdbg
         last_edge = self.end if strand == 0 else self.rc_end
-        cand = s.oc_t[last_edge]  # (V,4)
+        cand = cands_at(s, last_edge, "oc_t")  # (V,4)
         safe = np.maximum(cand, 0)
         present = (cand >= 0) & s.valid[safe]
         nbr = np.where(present, self.vid[safe], NULL)
@@ -160,8 +162,8 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
 
     valid = jnp.asarray(sdbg.valid)
     nxt, prv = simple_path_links(
-        jnp.asarray(sdbg.oc_t), jnp.asarray(sdbg.ic_t),
-        jnp.asarray(sdbg.oc_s), jnp.asarray(sdbg.ic_s), valid
+        jnp.asarray(sdbg.run_start), jnp.asarray(sdbg.nxt_link),
+        jnp.asarray(sdbg.rc), valid
     )
     rounds = max(1, int(np.ceil(np.log2(max(e, 2)))))
     end, d_end, start, pos, mn = _list_rank(nxt, prv, rounds)
@@ -502,9 +504,11 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     # edges under the new validity (the node between two chains has
     # degree (1,1) iff both the out- and in- side are unique)
     if m:
-        oc = s.oc_t[se_end]                       # (M, 4)
+        from .sdbg import cands_at
+
+        oc = cands_at(s, se_end, "oc_t")          # (M, 4)
         oc_ok = (oc >= 0) & s.valid[np.maximum(oc, 0)]
-        ic = s.ic_t[se_end]
+        ic = cands_at(s, se_end, "ic_t")
         ic_ok = (ic >= 0) & s.valid[np.maximum(ic, 0)]
         uniq = (oc_ok.sum(1) == 1) & (ic_ok.sum(1) == 1)
         f = np.where(uniq,

@@ -282,7 +282,7 @@ class Pipeline:
             # E rows, not the window multiset)
             np.savez(prefix + ".edges.npz", keys=keys, counts=counts)
         else:
-            sdbg.save(prefix + ".sdbg.npz")
+            sdbg.save(prefix + ".sdbg.npz", fmt="nav")
         vals, cnts = np.unique(counts, return_counts=True)
         with open(prefix + ".counting", "w") as fh:
             for v, c in zip(vals, cnts):

@@ -58,11 +58,31 @@ def check_sdbg_invariants(sdbg) -> None:
     assert (valid[rc] == valid).all(), "validity not strand-symmetric"
     assert (mult[rc] == mult).all(), "multiplicity not strand-symmetric"
 
-    # candidate tables: every non-null candidate's key must equal the
-    # surgically-derived neighbour k-mer
+    # candidate tables (slots position-packed since round 3): each
+    # row's candidate SET must equal the brute-force set of existing
+    # neighbour k-mers derived by key surgery + dict lookup
     suffix = np.asarray(kmerops.mask_tail(
         kmerops.drop_first_base(keys, k), k - 1))
     prefix = np.asarray(kmerops.mask_tail(keys, k - 1))
+    index = {kk.tobytes(): i for i, kk in enumerate(keys)}
+
+    def brute_row(node_key, place):
+        out = []
+        for c in range(4):
+            if place == "append":
+                want = np.asarray(kmerops.set_base(
+                    node_key[None], k - 1, c))[0]
+            else:
+                want = np.asarray(kmerops.set_base(
+                    np.asarray(kmerops.shift_right_bits(
+                        node_key[None], 2)), 0, c))[0]
+                want = np.asarray(kmerops.mask_tail(
+                    want[None], k))[0]
+            hit = index.get(want.tobytes())
+            if hit is not None:
+                out.append(hit)
+        return sorted(out)
+
     for name, table, node, place in (
         ("oc_t", sdbg.oc_t, suffix, "append"),
         ("ic_t", sdbg.ic_t, suffix, "prepend"),
@@ -70,19 +90,8 @@ def check_sdbg_invariants(sdbg) -> None:
         ("ic_s", sdbg.ic_s, prefix, "prepend"),
     ):
         t = np.asarray(table[:e])
-        for c in range(4):
-            cand = t[:, c]
-            rows = np.flatnonzero(cand >= 0)
-            if not len(rows):
-                continue
-            if place == "append":
-                want = np.asarray(kmerops.set_base(
-                    node[rows], k - 1, c))
-            else:
-                want = np.asarray(kmerops.set_base(
-                    np.asarray(kmerops.shift_right_bits(node[rows], 2)),
-                    0, c))
-                want = np.asarray(kmerops.mask_tail(want, k))
-            got = keys[cand[rows]]
-            assert (got == want).all(), \
-                f"{name}[:, {c}] candidate keys inconsistent"
+        for i in range(e):
+            got = sorted(int(x) for x in t[i] if x >= 0)
+            want = brute_row(node[i], place)
+            assert got == want, \
+                f"{name}[{i}] candidate set {got} != expected {want}"
