@@ -165,20 +165,32 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
         jnp.asarray(sdbg.run_start), jnp.asarray(sdbg.nxt_link),
         jnp.asarray(sdbg.rc), valid
     )
-    rounds = max(1, int(np.ceil(np.log2(max(e, 2)))))
-    end, d_end, start, pos, mn = _list_rank(nxt, prv, rounds)
     nxt = np.asarray(nxt)
     prv = np.asarray(prv)
-    end = np.asarray(end)
-    start = np.asarray(start)
-    pos = np.asarray(pos)
-    mn = np.asarray(mn)
     validn = sdbg.valid
 
-    # cycles: chains whose "end" still has a successor
-    in_cycle = validn & (nxt[end] >= 0)
-    chain_start = np.where(in_cycle, mn, start).astype(np.int32)
-    chain_end_arr = np.where(in_cycle, prv[mn], end).astype(np.int32)
+    ranked = None
+    if jax.default_backend() == "cpu":
+        # host fast path: one O(E) native pointer walk instead of
+        # log2(E) rounds of whole-graph gathers (native/graphwalk.cpp)
+        from ..native import chain_rank as _native_chain_rank
+
+        ranked = _native_chain_rank(nxt, prv, validn)
+    if ranked is not None:
+        chain_start, chain_end_arr, pos, in_cycle = ranked
+        in_cycle = in_cycle & validn
+    else:
+        rounds = max(1, int(np.ceil(np.log2(max(e, 2)))))
+        end, d_end, start, pos, mn = _list_rank(
+            jnp.asarray(nxt), jnp.asarray(prv), rounds)
+        end = np.asarray(end)
+        start = np.asarray(start)
+        pos = np.asarray(pos)
+        mn = np.asarray(mn)
+        # cycles: chains whose "end" still has a successor
+        in_cycle = validn & (nxt[end] >= 0)
+        chain_start = np.where(in_cycle, mn, start).astype(np.int32)
+        chain_end_arr = np.where(in_cycle, prv[mn], end).astype(np.int32)
 
     # one representative row per chain: the chain-start edge
     is_rep = validn & (chain_start == np.arange(e, dtype=np.int32))
@@ -299,8 +311,21 @@ def _kill_edge_indices(graph, delete, disc_fwd, disc_rc):
     if disc_rc.any():
         parts.append(graph.rc_start[disc_rc])
     if delete.any():
-        member = (graph.vid >= 0) & delete[np.maximum(graph.vid, 0)]
-        parts.append(np.flatnonzero(member))
+        fwd = None
+        if jax.default_backend() == "cpu":
+            # sparse: walk only the deleted chains (forward strands;
+            # invalidate_idx adds the rc partners) instead of scanning
+            # every edge's vid
+            from ..native import collect_chain_edges
+
+            rows = np.flatnonzero(delete)
+            fwd = collect_chain_edges(
+                graph.nxt, graph.start[rows], graph.length[rows]
+            )
+        if fwd is None:
+            member = (graph.vid >= 0) & delete[np.maximum(graph.vid, 0)]
+            fwd = np.flatnonzero(member)
+        parts.append(fwd)
     if not parts:
         return np.zeros(0, dtype=np.int64)
     return np.concatenate([np.asarray(p, dtype=np.int64)
@@ -665,10 +690,33 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     safe = np.maximum(ov, 0)
     okv = (ov >= 0) & s.valid
 
-    # changed edges: either-strand super-edge changed (superset of the
-    # per-strand flag; the strand is resolved sparsely on ce below)
-    ch_row = chfw | chrc
-    ce = np.flatnonzero(ch_row[safe] & okv)
+    # changed edges: walk only the changed chains natively (own-strand
+    # exact); fall back to the full-edge scan + strand resolution
+    ce = se_ce = None
+    if jax.default_backend() == "cpu" and m:
+        from ..native import collect_chain_edges
+
+        sef = np.flatnonzero(changed_se[:n_l])
+        ser = n_l + np.flatnonzero(changed_se[n_l:])
+        rows_f = lv[sef]
+        rows_r = lv[npal][ser - n_l]
+        cef = collect_chain_edges(
+            graph.nxt, graph.start[rows_f], graph.length[rows_f])
+        cer = collect_chain_edges(
+            graph.nxt, graph.rc_start[rows_r], graph.length[rows_r])
+        if cef is not None and cer is not None:
+            ce0 = np.concatenate([cef, cer]).astype(np.int64)
+            se0 = np.concatenate([
+                np.repeat(sef, graph.length[rows_f]),
+                np.repeat(ser, graph.length[rows_r]),
+            ])
+            keepv = s.valid[ce0]
+            ce, se_ce = ce0[keepv], se0[keepv]
+    if ce is None:
+        # either-strand superset of the per-strand flag; the strand is
+        # resolved sparsely on ce below
+        ch_row = chfw | chrc
+        ce = np.flatnonzero(ch_row[safe] & okv)
 
     # per-edge arrays are updated IN PLACE: the caller's old graph is
     # dead after refresh (and _propagate_changed reads only vid/length
@@ -680,7 +728,7 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
 
     chain_start_new = _own(graph.chain_start)
     edge_pos_new = _own(graph.edge_pos)
-    if len(ce):
+    if se_ce is None and len(ce):
         rows_ce = ov[ce].astype(np.int64)
         is_fwd_ce = chain_start_new[ce] == graph.start[rows_ce]
         fwd_se_row = np.full(graph.size, -1, dtype=np.int64)
@@ -693,6 +741,7 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         # actually changed
         own = changed_se[se_ce0]
         ce, se_ce = ce[own], se_ce0[own]
+    if se_ce is not None and len(ce):
         chain_start_new[ce] = se_start[chain_of[se_ce]].astype(np.int32)
         edge_pos_new[ce] = (offs[se_ce] + graph.edge_pos[ce]
                             - se_shift[se_ce]).astype(np.int32)

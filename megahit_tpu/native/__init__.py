@@ -109,3 +109,97 @@ def parse_fastx_buffer(
     codes, starts = out
     return [codes[starts[i] : starts[i + 1]]
             for i in range(len(starts) - 1)]
+
+
+# ---------------------------------------------------------------------------
+# graphwalk: O(E) host chain ranking (see graphwalk.cpp)
+# ---------------------------------------------------------------------------
+
+_GW_SO = os.path.join(_DIR, "libgraphwalk.so")
+_GW_SRC = os.path.join(_DIR, "graphwalk.cpp")
+_gw_lib = None
+_gw_tried = False
+
+
+def get_graphwalk():
+    """The loaded graphwalk library, or None (numpy fallback)."""
+    global _gw_lib, _gw_tried
+    if _gw_lib is not None or _gw_tried:
+        return _gw_lib
+    _gw_tried = True
+    if not os.path.exists(_GW_SO) or (
+        os.path.exists(_GW_SRC)
+        and os.path.getmtime(_GW_SRC) > os.path.getmtime(_GW_SO)
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _GW_SRC,
+                 "-o", _GW_SO],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            get_logger().debug("graphwalk build failed: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_GW_SO)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.chain_rank.restype = None
+        lib.chain_rank.argtypes = [
+            i32p, i32p, u8p, ctypes.c_int64, i32p, i32p, i32p, u8p,
+        ]
+        lib.collect_chain_edges.restype = ctypes.c_int64
+        lib.collect_chain_edges.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, i32p,
+        ]
+        _gw_lib = lib
+    except OSError as e:
+        get_logger().debug("graphwalk load failed: %s", e)
+    return _gw_lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def chain_rank(nxt: np.ndarray, prv: np.ndarray, valid: np.ndarray):
+    """(chain_start, chain_end, pos, is_cycle) per edge, or None if
+    the native library is unavailable (caller uses pointer doubling)."""
+    lib = get_graphwalk()
+    if lib is None:
+        return None
+    e = len(nxt)
+    nxt = np.ascontiguousarray(nxt, dtype=np.int32)
+    prv = np.ascontiguousarray(prv, dtype=np.int32)
+    validu = np.ascontiguousarray(valid, dtype=np.uint8)
+    cs = np.empty(e, np.int32)
+    ce = np.empty(e, np.int32)
+    pos = np.empty(e, np.int32)
+    cyc = np.empty(e, np.uint8)
+    lib.chain_rank(
+        _i32p(nxt), _i32p(prv),
+        validu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(e), _i32p(cs), _i32p(ce), _i32p(pos),
+        cyc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return cs, ce, pos, cyc.astype(bool)
+
+
+def collect_chain_edges(nxt: np.ndarray, starts: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray | None:
+    """Edge indices of the chains starting at `starts` with lengths
+    `lens` (walks nxt), or None if native is unavailable."""
+    lib = get_graphwalk()
+    if lib is None:
+        return None
+    nxt = np.ascontiguousarray(nxt, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    total = int(lens.sum())
+    out = np.empty(total, np.int32)
+    w = lib.collect_chain_edges(
+        _i32p(nxt), _i32p(starts), _i32p(lens),
+        ctypes.c_int64(len(starts)), _i32p(out),
+    )
+    assert w == total, (w, total)
+    return out

@@ -192,3 +192,58 @@ def test_tip_removal_max_len_one_removes_nothing():
     before = g.valid.sum()
     assert remove_tips_sdbg(g, 1) == 0
     assert g.valid.sum() == before
+
+
+def test_native_chain_rank_matches_pointer_doubling():
+    """native graphwalk chain ranking == the device _list_rank
+    formulation on random link structures (chains + cycles)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from megahit_tpu.native import chain_rank, collect_chain_edges
+    from megahit_tpu.graph.unitig import _list_rank
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        e = int(rng.integers(5, 200))
+        # build a random permutation-ish successor structure: split
+        # indices into segments; each segment becomes a chain or cycle
+        perm = rng.permutation(e)
+        nxt = np.full(e, -1, np.int32)
+        prv = np.full(e, -1, np.int32)
+        i = 0
+        while i < e:
+            seg = perm[i:i + int(rng.integers(1, 12))]
+            for a, b in zip(seg[:-1], seg[1:]):
+                nxt[a], prv[b] = b, a
+            if len(seg) > 1 and rng.random() < 0.3:  # close a cycle
+                nxt[seg[-1]], prv[seg[0]] = seg[0], seg[-1]
+            i += len(seg)
+        valid = np.ones(e, bool)
+        got = chain_rank(nxt, prv, valid)
+        assert got is not None
+        cs, ce_, pos, cyc = got
+
+        rounds = max(1, int(np.ceil(np.log2(max(e, 2)))))
+        end, _, start, dpos, mn = (
+            np.asarray(x) for x in _list_rank(
+                jnp.asarray(nxt), jnp.asarray(prv), rounds)
+        )
+        in_cycle = nxt[end] >= 0
+        want_cs = np.where(in_cycle, mn, start)
+        want_ce = np.where(in_cycle, prv[mn], end)
+        np.testing.assert_array_equal(cs, want_cs)
+        np.testing.assert_array_equal(ce_, want_ce)
+        np.testing.assert_array_equal(cyc, in_cycle)
+        # chain positions must match on non-cycles
+        np.testing.assert_array_equal(pos[~cyc], dpos[~cyc])
+
+        # collect_chain_edges walks exactly the chain members in order
+        heads = np.flatnonzero((prv < 0))
+        lens = np.array(
+            [int((cs == cs[h]).sum()) for h in heads], np.int32)
+        out = collect_chain_edges(nxt, heads.astype(np.int32), lens)
+        assert out is not None
+        for h, ln in zip(heads, lens):
+            members = np.flatnonzero(cs == cs[h])
+            assert set(members) == set(
+                out[np.isin(out, members)].tolist())
