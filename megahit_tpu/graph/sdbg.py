@@ -88,6 +88,7 @@ class Sdbg:
         self._oc_t, self._ic_t = oc_t, ic_t
         self._oc_s, self._ic_s = oc_s, ic_s
         self._ref_rank = None
+        self._rvc = None
 
     def _ensure_nav(self) -> None:
         """Derive the compact navigation core (run_start, nxt_link, rc)
@@ -183,6 +184,29 @@ class Sdbg:
     def ic_s(self) -> np.ndarray:
         self._ensure_tables()
         return self._ic_s
+
+    def __copy__(self):
+        """Shallow copy sharing the immutable structure but owning the
+        MUTABLE state (valid + the validity-derived rvc cache), so two
+        copies can diverge safely."""
+        c = object.__new__(Sdbg)
+        c.__dict__.update(self.__dict__)
+        c.valid = self.valid.copy()
+        c._rvc = None if self._rvc is None else self._rvc.copy()
+        return c
+
+    @property
+    def rvc(self) -> np.ndarray:
+        """Per-run VALID-edge count, stored at each run's start row
+        (0 elsewhere). Makes every degree query a single gather
+        (deg(node) = rvc[its run start]); maintained incrementally by
+        invalidate/invalidate_idx."""
+        if self._rvc is None:
+            self._ensure_nav()
+            self._rvc = np.bincount(
+                self._run_start[self.valid], minlength=self.size
+            ).astype(np.int32)
+        return self._rvc
 
     @property
     def size(self) -> int:
@@ -382,10 +406,20 @@ class Sdbg:
         explicitly; symmetry is an invariant here)."""
         full = mask.copy()
         full[self.rc[mask]] = True
+        if self._rvc is not None:
+            rows = np.flatnonzero(full & self.valid)
+            np.subtract.at(self._rvc, self.run_start[rows], 1)
         self.valid &= ~full
 
     def invalidate_idx(self, idx: np.ndarray) -> None:
         """Index-based invalidate (sparse callers); rc-symmetric."""
+        if self._rvc is not None:
+            idx = np.asarray(idx, dtype=np.int64)
+            both = np.concatenate([idx, self.rc[idx]])
+            newly = np.unique(both[self.valid[both]])
+            self.valid[newly] = False
+            np.subtract.at(self._rvc, self.run_start[newly], 1)
+            return
         self.valid[idx] = False
         self.valid[self.rc[idx]] = False
 
@@ -946,6 +980,47 @@ def cands_at(sdbg: "Sdbg", rows: np.ndarray, which: str) -> np.ndarray:
     return np.where(m >= 0, rc[np.maximum(m, 0)], NULL).astype(np.int32)
 
 
+def deg_at(sdbg: "Sdbg", rows, which: str) -> np.ndarray:
+    """Valid-degree per row via the per-run valid counts: one gather.
+    rows=None means all rows. which as in cands_at."""
+    rvc = sdbg.rvc
+    if which == "oc_t":
+        s = sdbg.nxt_link if rows is None else sdbg.nxt_link[rows]
+    elif which == "oc_s":
+        s = sdbg.run_start if rows is None else sdbg.run_start[rows]
+    elif which == "ic_t":
+        rc = sdbg.rc if rows is None else sdbg.rc[rows]
+        s = sdbg.run_start[rc]
+    elif which == "ic_s":
+        rc = sdbg.rc if rows is None else sdbg.rc[rows]
+        s = sdbg.nxt_link[rc]
+    else:
+        raise ValueError(which)
+    return np.where(s >= 0, rvc[np.maximum(s, 0)], 0).astype(np.int32)
+
+
+def simple_path_links_host(sdbg: "Sdbg"):
+    """Host fast path of simple_path_links: degree tests are single
+    rvc gathers; the unique-successor member is resolved only at the
+    (sparse-ish) rows that pass, and prv is the exact inverse of nxt
+    (nxt[e]=f and prv[f]=e share the same node-degree condition)."""
+    rs, nl, rc = sdbg.run_start, sdbg.nxt_link, sdbg.rc
+    valid = sdbg.valid
+    rvc = sdbg.rvc
+    odt = np.where(nl >= 0, rvc[np.maximum(nl, 0)], 0)
+    idt = rvc[rs[rc]]
+    sel = valid & (odt == 1) & (idt == 1)
+    nxt = np.full(sdbg.size, NULL, np.int32)
+    rows = np.flatnonzero(sel)
+    m = _run4(nl[rows], rs, sdbg.real)
+    mv = (m >= 0) & valid[np.maximum(m, 0)]
+    nxt[rows] = np.max(np.where(mv, m, NULL), axis=1)
+    prv = np.full(sdbg.size, NULL, np.int32)
+    has = np.flatnonzero(nxt >= 0)
+    prv[nxt[has]] = has
+    return nxt, prv
+
+
 def _run_members_valid(starts, run_start, valid):
     """jit: (N,) run-start indices -> ((N,4) valid-member mask,
     (N,4) member rows). Pad rows are inert (own-index run, invalid)."""
@@ -1079,10 +1154,8 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
     valid = sdbg.valid
 
     def cand_deg(which, rows=None):
-        tt = cands_at(sdbg, rows, which) if rows is not None else \
-            cands_at(sdbg, np.arange(sdbg.size), which)
-        return ((tt >= 0) & valid[np.maximum(tt, 0)]).sum(
-            axis=-1, dtype=np.int32)
+        # rvc-backed: one gather per degree query
+        return deg_at(sdbg, rows, which)
 
     def unique_valid(which, rows):
         tt = cands_at(sdbg, rows, which)

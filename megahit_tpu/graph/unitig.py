@@ -160,13 +160,17 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
                            chain_start=z.copy(), edge_pos=z.copy(),
                            nxt=z.copy(), prv=z.copy())
 
-    valid = jnp.asarray(sdbg.valid)
-    nxt, prv = simple_path_links(
-        jnp.asarray(sdbg.run_start), jnp.asarray(sdbg.nxt_link),
-        jnp.asarray(sdbg.rc), valid
-    )
-    nxt = np.asarray(nxt)
-    prv = np.asarray(prv)
+    if jax.default_backend() == "cpu":
+        from .sdbg import simple_path_links_host
+
+        nxt, prv = simple_path_links_host(sdbg)
+    else:
+        nxt, prv = simple_path_links(
+            jnp.asarray(sdbg.run_start), jnp.asarray(sdbg.nxt_link),
+            jnp.asarray(sdbg.rc), jnp.asarray(sdbg.valid)
+        )
+        nxt = np.asarray(nxt)
+        prv = np.asarray(prv)
     validn = sdbg.valid
 
     ranked = None
