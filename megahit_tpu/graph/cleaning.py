@@ -109,7 +109,7 @@ def remove_tips(g: UnitigGraph, max_tip_len: int) -> tuple[UnitigGraph, int]:
     while thre < max_tip_len:
         t = NbrTables(g)
         ind, outd = t.outdeg[:, 1], t.outdeg[:, 0]
-        short = g.length < thre
+        short = (g.length < thre) & g.alive
         avg = g.avg_depth()
 
         delete = short & g.is_standalone()
@@ -243,7 +243,7 @@ def _find_bubble_instances(g, t, max_len):
     lstrand) - the reference's scan order. The filter reads only
     pre-pass state, so batching is exact."""
     standalone = g.is_standalone()
-    base = (t.outdeg > 1).any(axis=1) & ~g.is_loop & ~standalone
+    base = (t.outdeg > 1).any(axis=1) & ~g.is_loop & ~standalone & g.alive
     out = []
     for strand in (0, 1):
         degree = t.outdeg[:, strand]
@@ -473,7 +473,7 @@ def disconnect_weak_links(
     num = 0
     for strand in (0, 1):
         deg = t.outdeg[:, strand]
-        act = (~skip) & (deg > 1)
+        act = (~skip) & (deg > 1) & g.alive
         pres = t.present[:, strand, :] & act[:, None]
         nb = np.maximum(t.nbr[:, strand, :], 0)
         depths = np.where(pres, avg[nb], 0.0)
@@ -534,7 +534,7 @@ def remove_local_low_depth(
 ) -> tuple[UnitigGraph, int, bool]:
     t = NbrTables(g)
     ind, outd = t.outdeg[:, 1], t.outdeg[:, 0]
-    cand = (~g.is_standalone()) & (g.length <= max_len)
+    cand = g.alive & (~g.is_standalone()) & (g.length <= max_len)
     cand &= ind + outd > 0
     cand &= ((ind <= 1) & (outd <= 1)) | (ind == 0) | (outd == 0)
     mean = _local_depth(g, t, local_width)
@@ -572,7 +572,7 @@ def iterate_local_low_depth(
 
 def remove_low_depth(g: UnitigGraph, min_depth: float
                      ) -> tuple[UnitigGraph, int]:
-    remove = g.avg_depth() < min_depth
+    remove = (g.avg_depth() < min_depth) & g.alive
     n = int(remove.sum())
     if n:
         g.to_delete |= remove

@@ -35,7 +35,7 @@ def unitig_codes(graph: UnitigGraph, subset: np.ndarray | None = None
     k = graph.k
     s = graph.sdbg
     if subset is None:
-        subset = np.arange(graph.size)
+        subset = np.flatnonzero(graph.alive)
     subset = np.asarray(subset)
     out: dict[int, np.ndarray] = {}
     if len(subset) == 0:
@@ -44,33 +44,50 @@ def unitig_codes(graph: UnitigGraph, subset: np.ndarray | None = None
     want = np.zeros(graph.size, dtype=bool)
     want[subset] = True
 
-    # --- chain vertices: fully vectorized by (chain_start, pos) sort;
-    # one flat base buffer + per-chain views (no per-chain Python
-    # unpack/concat - that loop dominated complex-bubble passes)
+    # --- chain vertices: native chain walks emit members already in
+    # (chain, pos) order - O(selected edges), no whole-edge scan; the
+    # vectorized (chain_start, pos) lexsort remains as the fallback
     chain_vs = subset[~graph.is_loop[subset]]
     if len(chain_vs):
-        sel_start = np.zeros(s.size, dtype=bool)
-        sel_start[graph.start[chain_vs]] = True
-        emask = s.valid & (graph.vid >= 0)
-        emask &= want[np.maximum(graph.vid, 0)]
-        emask &= sel_start[graph.chain_start]  # forward chains only
-        eidx = np.flatnonzero(emask)
-        order = np.lexsort(
-            (graph.edge_pos[eidx], graph.chain_start[eidx])
-        )
-        eidx = eidx[order]
-        bases = _last_base(s.keys[eidx], k)
-        chains = graph.chain_start[eidx]
-        head = np.empty(len(eidx), dtype=bool)
-        if len(eidx):
-            head[0] = True
-            np.not_equal(chains[1:], chains[:-1], out=head[1:])
-        boundaries = np.flatnonzero(head)
-        ends = np.concatenate([boundaries[1:], [len(eidx)]])
-        row_of_start = np.full(s.size, -1, dtype=np.int64)
-        row_of_start[graph.start[chain_vs]] = chain_vs
-        vids = row_of_start[chains[boundaries]]
-        counts = ends - boundaries
+        eidx = None
+        import jax
+
+        if jax.default_backend() == "cpu":
+            from ..native import collect_chain_edges
+
+            eidx = collect_chain_edges(
+                graph.nxt, graph.start[chain_vs],
+                graph.length[chain_vs],
+            )
+        if eidx is not None:
+            counts = graph.length[chain_vs].astype(np.int64)
+            boundaries = np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            vids = chain_vs.astype(np.int64)
+            bases = _last_base(s.keys[eidx], k)
+        else:
+            sel_start = np.zeros(s.size, dtype=bool)
+            sel_start[graph.start[chain_vs]] = True
+            emask = s.valid & (graph.vid >= 0)
+            emask &= want[np.maximum(graph.vid, 0)]
+            emask &= sel_start[graph.chain_start]  # forward chains only
+            eidx = np.flatnonzero(emask)
+            order = np.lexsort(
+                (graph.edge_pos[eidx], graph.chain_start[eidx])
+            )
+            eidx = eidx[order]
+            bases = _last_base(s.keys[eidx], k)
+            chains = graph.chain_start[eidx]
+            head = np.empty(len(eidx), dtype=bool)
+            if len(eidx):
+                head[0] = True
+                np.not_equal(chains[1:], chains[:-1], out=head[1:])
+            boundaries = np.flatnonzero(head)
+            ends = np.concatenate([boundaries[1:], [len(eidx)]])
+            row_of_start = np.full(s.size, -1, dtype=np.int64)
+            row_of_start[graph.start[chain_vs]] = chain_vs
+            vids = row_of_start[chains[boundaries]]
+            counts = ends - boundaries
         lens = counts + (k - 1)  # k head bases + (cnt-1) tail bases
         offs = np.zeros(len(vids) + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
@@ -147,10 +164,13 @@ def output_contigs(
     k = graph.k - 1
     ind, outd = graph.in_out_degree()
     if change_only:
-        subset = np.flatnonzero(graph.changed)
+        subset = np.flatnonzero(graph.changed & graph.alive)
     else:
-        subset = np.arange(graph.size)
+        subset = np.flatnonzero(graph.alive)
     codes_by_v = unitig_codes(graph, subset)
+    # contig ids = rank among alive slots (== the reference's stably-
+    # compacted vertex index; ascending-slot order is preserved)
+    rank = np.cumsum(graph.alive) - 1
 
     contigs: list[ContigRecord] = []
     finals: list[ContigRecord] = []
@@ -176,7 +196,7 @@ def output_contigs(
                 if len(codes) < min_standalone:
                     continue
                 sink = finals
-            sink.append(ContigRecord(codes, k, v, flag, multi))
+            sink.append(ContigRecord(codes, k, int(rank[v]), flag, multi))
         else:
             flag = 0
             sink = contigs
@@ -188,7 +208,7 @@ def output_contigs(
                     if len(codes) < min_standalone:
                         continue
                     sink = finals
-            sink.append(ContigRecord(codes, k, v, flag, multi))
+            sink.append(ContigRecord(codes, k, int(rank[v]), flag, multi))
     return contigs, finals
 
 

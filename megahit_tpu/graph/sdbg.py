@@ -1012,9 +1012,19 @@ def simple_path_links_host(sdbg: "Sdbg"):
     sel = valid & (odt == 1) & (idt == 1)
     nxt = np.full(sdbg.size, NULL, np.int32)
     rows = np.flatnonzero(sel)
-    m = _run4(nl[rows], rs, sdbg.real)
-    mv = (m >= 0) & valid[np.maximum(m, 0)]
-    nxt[rows] = np.max(np.where(mv, m, NULL), axis=1)
+    # most runs are singletons (distinct (k-1)-nodes nearly equal
+    # distinct k-mers): there the unique valid member IS the run start
+    # (rvc == 1 implies it is valid); resolve only multi-member runs
+    nlr = nl[rows].astype(np.int64)
+    nxt_rows = nlr.astype(np.int32)
+    nxt1 = np.minimum(nlr + 1, max(sdbg.real - 1, 0))
+    multi = (nlr + 1 < sdbg.real) & (rs[nxt1] == nlr)
+    mr = rows[multi]
+    if len(mr):
+        m = _run4(nl[mr], rs, sdbg.real)
+        mv = (m >= 0) & valid[np.maximum(m, 0)]
+        nxt_rows[multi] = np.max(np.where(mv, m, NULL), axis=1)
+    nxt[rows] = nxt_rows
     prv = np.full(sdbg.size, NULL, np.int32)
     has = np.flatnonzero(nxt >= 0)
     prv[nxt[has]] = has

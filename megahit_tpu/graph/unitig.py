@@ -87,6 +87,12 @@ class UnitigGraph:
     to_disconnect_fwd: np.ndarray = field(default=None)
     to_disconnect_rc: np.ndarray = field(default=None)
     changed: np.ndarray = field(default=None)
+    # slot-space liveness (round 3): refresh() updates vertices IN
+    # PLACE and never compacts; dead slots keep stale values and every
+    # consumer masks with `alive`. Row-order tie-breaks are unchanged
+    # because the reference's stable compaction preserves exactly the
+    # ascending-slot order (unitig_graph.cpp:210-355 std::remove_if).
+    alive: np.ndarray = field(default=None)
 
     def __post_init__(self):
         v = len(self.start)
@@ -98,10 +104,30 @@ class UnitigGraph:
             self.to_disconnect_rc = np.zeros(v, dtype=bool)
         if self.changed is None:
             self.changed = np.zeros(v, dtype=bool)
+        if self.alive is None:
+            self.alive = np.ones(v, dtype=bool)
 
     @property
     def size(self) -> int:
         return len(self.start)
+
+    def n_alive(self) -> int:
+        return int(self.alive.sum())
+
+    def __copy__(self):
+        """Deep-ish copy owning every mutable array (refresh mutates
+        in place since round 3, so shallow copies must not share)."""
+        c = object.__new__(UnitigGraph)
+        c.__dict__.update(self.__dict__)
+        for f in ("start", "end", "rc_start", "rc_end", "length",
+                  "total_depth", "is_loop", "is_palindrome", "vid",
+                  "chain_start", "edge_pos", "nxt", "prv", "to_delete",
+                  "to_disconnect_fwd", "to_disconnect_rc", "changed",
+                  "alive"):
+            a = getattr(self, f)
+            if a is not None:
+                setattr(c, f, np.array(a))
+        return c
 
     def avg_depth(self) -> np.ndarray:
         return self.total_depth / np.maximum(self.length, 1)
@@ -304,7 +330,9 @@ def _classify_marks(graph: UnitigGraph):
     disc_fwd = graph.to_disconnect_fwd & ~graph.to_delete & ~kill_whole
     disc_rc = graph.to_disconnect_rc & ~graph.to_delete & ~kill_whole
     delete = graph.to_delete | kill_whole
-    return delete, disc_fwd, disc_rc
+    # slot-space: marks on dead slots (stale flags) are void
+    return (delete & graph.alive, disc_fwd & graph.alive,
+            disc_rc & graph.alive)
 
 
 def _kill_edge_indices(graph, delete, disc_fwd, disc_rc):
@@ -365,16 +393,20 @@ def refresh(graph: UnitigGraph, set_changed: bool = False) -> UnitigGraph:
     rebuild the unitig graph (reference UnitigGraph::Refresh,
     unitig_graph.cpp:210-355).
 
-    CONSUMES `graph`: its per-edge arrays are updated in place and
-    nulled out; only the returned graph is usable afterwards.
+    MUTATES `graph` in place (slot-space, round 3): deleted and
+    merged-away vertices stay in their slots with alive=False; merged
+    chains are rewritten into the slot the reference's claim order
+    would assign. The returned object is the same graph. No per-edge
+    remap ever runs - vid/chain arrays update only at the edges of
+    changed chains.
 
-    The rebuild is CONTRACTED: surviving old chains become super-edges
+    The update is CONTRACTED: surviving old chains become super-edges
     and the pointer-doubling ranking runs over them (O(V log V) host
     numpy) instead of over all edges (O(E log E) device rounds) - the
     reference's touch-only-marked-vertices Refresh re-expressed
-    deterministically. Falls back to the full edge-level rebuild for
-    the rare shapes the contraction does not model (disconnects on
-    palindromes/loops).
+    deterministically. Falls back to the full edge-level rebuild
+    (dense rows, all alive) for the rare shapes the contraction does
+    not model (disconnects on palindromes/loops).
     """
     s = graph.sdbg
     if not (graph.to_delete.any() or graph.to_disconnect_fwd.any()
@@ -496,8 +528,7 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     if len(kill_idx):
         s.invalidate_idx(kill_idx)
 
-    live_chain = (~delete) & ~graph.is_loop
-    live_loop = (~delete) & graph.is_loop
+    live_chain = graph.alive & (~delete) & ~graph.is_loop
     lv = np.flatnonzero(live_chain)
     n_l = len(lv)
 
@@ -542,9 +573,15 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         uniq = (oc_ok.sum(1) == 1) & (ic_ok.sum(1) == 1)
         f = np.where(uniq,
                      np.where(oc_ok, oc, -1).max(1), -1)
-        start_lookup = np.full(s.size, -1, dtype=np.int64)
-        start_lookup[se_start] = np.arange(m)
-        nxt_se = np.where(f >= 0, start_lookup[np.maximum(f, 0)], -1)
+        # successor edge -> owning se, via a sorted M-sized join (an
+        # E-sized lookup table here cost more than the whole rest of
+        # the refresh)
+        so = np.argsort(se_start)
+        ss = se_start[so]
+        pos = np.searchsorted(ss, np.maximum(f, 0))
+        posc = np.minimum(pos, m - 1)
+        hit = (f >= 0) & (ss[posc] == f)
+        nxt_se = np.where(hit, so[posc], -1)
         # a unique successor must be some live chain's start
         assert not (uniq & (nxt_se < 0)).any(), \
             "contracted refresh: dangling simple-path link"
@@ -630,30 +667,18 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         )
 
     v_first = c_first[keep]
-    v_last = chain_end[rep][keep]
     v_pairf = pair_first[keep]
     v_loop = c_loop[keep]
-    v_rep_slot = rep_slot[keep]
-    v_startE = anchor_start[keep]
-    v_endE = anchor_end[keep]
-    order = np.argsort(v_rep_slot, kind="stable")
-    v_first, v_last = v_first[order], v_last[order]
-    v_pairf, v_loop = v_pairf[order], v_loop[order]
-    v_rep_slot = v_rep_slot[order]
-    v_startE, v_endE = v_startE[order], v_endE[order]
-
+    slots = rep_slot[keep]
+    v_start = anchor_start[keep].astype(np.int32)
+    v_end = anchor_end[keep].astype(np.int32)
     nv = len(v_first)
-    v_start = v_startE.astype(np.int32)
-    v_end = v_endE.astype(np.int32)
-    v_len = len_per[v_first].astype(np.int32)
-    v_dep = dep_per[v_first]
-    v_pal = v_first == v_pairf
 
-    # row id per super-edge (both orientations map to the vertex row)
-    row_of_first = np.full(max(m, 1), NULL, dtype=np.int64)
-    row_of_first[v_first] = np.arange(nv)
-    row_of_first[v_pairf] = np.arange(nv)
-    vid_se = row_of_first[chain_of] if m else np.zeros(0, np.int64)
+    # slot id per super-edge's chain (both orientations map to the
+    # claimed vertex SLOT)
+    slot_of_chain = np.full(max(m, 1), NULL, dtype=np.int64)
+    slot_of_chain[v_first] = slots
+    slot_of_chain[v_pairf] = slots
 
     # weighted offset of each super-edge within its new chain
     offs = np.zeros(m, dtype=np.int64)
@@ -669,30 +694,18 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         )
         offs[so] = csum - grp_base
 
-    # --- expand to edge level, INCREMENTALLY: chain_start/edge_pos
-    # change only for edges of CHANGED chains (merged, disconnect-
-    # shifted, or newly cyclic - an unchanged chain is its own
-    # super-edge group with zero offset and shift, so its expansion is
-    # the identity); the vid update is one gather through a per-old-
-    # row map. Old-loop rows carry over with just the vid remap.
-    ll = np.flatnonzero(live_loop)
-    rowmap = np.full(graph.size, NULL, dtype=np.int32)
-    if m:
-        rowmap[lv] = vid_se[:n_l].astype(np.int32)
-    rowmap[ll] = (nv + np.arange(len(ll))).astype(np.int32)
-
     grp_sz = np.bincount(chain_of, minlength=max(m, 1))
     changed_se = (grp_sz[chain_of] > 1) | (se_shift > 0) | in_cycle \
         if m else np.zeros(0, bool)
-    chfw = np.zeros(graph.size, dtype=bool)
-    chrc = np.zeros(graph.size, dtype=bool)
+    # a VERTEX changed iff merged/cycled or EITHER strand was
+    # disconnect-shifted (the rc-strand shift changes the vertex's
+    # length but not this strand's se bookkeeping)
     if m:
-        chfw[lv] = changed_se[:n_l]
-        chrc[lv[npal]] = changed_se[n_l:]
-
-    ov = graph.vid
-    safe = np.maximum(ov, 0)
-    okv = (ov >= 0) & s.valid
+        shift_any = (disc_fwd | disc_rc)[oldslot_se]
+        ch_chain = ((grp_sz[chain_of] > 1) | in_cycle
+                    | shift_any)[v_first]
+    else:
+        ch_chain = np.zeros(0, bool)
 
     # changed edges: walk only the changed chains natively (own-strand
     # exact); fall back to the full-edge scan + strand resolution
@@ -717,23 +730,30 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
             keepv = s.valid[ce0]
             ce, se_ce = ce0[keepv], se0[keepv]
     if ce is None:
+        chfw = np.zeros(graph.size, dtype=bool)
+        chrc = np.zeros(graph.size, dtype=bool)
+        if m:
+            chfw[lv] = changed_se[:n_l]
+            chrc[lv[npal]] = changed_se[n_l:]
+        ov = graph.vid
+        safe = np.maximum(ov, 0)
+        okv = (ov >= 0) & s.valid
         # either-strand superset of the per-strand flag; the strand is
         # resolved sparsely on ce below
         ch_row = chfw | chrc
         ce = np.flatnonzero(ch_row[safe] & okv)
 
-    # per-edge arrays are updated IN PLACE: the caller's old graph is
-    # dead after refresh (and _propagate_changed reads only vid/length
-    # of it, which get fresh arrays). Arrays fresh off the device are
+    # per-edge arrays are updated IN PLACE (slot-space refresh mutates
+    # and returns the SAME graph). Arrays fresh off the device are
     # read-only views - take ownership once.
 
     def _own(a):
         return a if a.flags.writeable else a.copy()
 
-    chain_start_new = _own(graph.chain_start)
-    edge_pos_new = _own(graph.edge_pos)
+    chain_start_new = graph.chain_start = _own(graph.chain_start)
+    edge_pos_new = graph.edge_pos = _own(graph.edge_pos)
     if se_ce is None and len(ce):
-        rows_ce = ov[ce].astype(np.int64)
+        rows_ce = graph.vid[ce].astype(np.int64)
         is_fwd_ce = chain_start_new[ce] == graph.start[rows_ce]
         fwd_se_row = np.full(graph.size, -1, dtype=np.int64)
         rc_se_row = np.full(graph.size, -1, dtype=np.int64)
@@ -746,14 +766,18 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         own = changed_se[se_ce0]
         ce, se_ce = ce[own], se_ce0[own]
     if se_ce is not None and len(ce):
+        # vid: ce covers exactly the edges whose chain membership can
+        # change - one SPARSE scatter replaces the old full-edge remap
+        vid_new = graph.vid = _own(graph.vid)
+        vid_new[ce] = slot_of_chain[chain_of[se_ce]].astype(np.int32)
         chain_start_new[ce] = se_start[chain_of[se_ce]].astype(np.int32)
         edge_pos_new[ce] = (offs[se_ce] + graph.edge_pos[ce]
                             - se_shift[se_ce]).astype(np.int32)
 
     # --- repair simple-path links at junctions and cut ends (also
     # in place; see note above)
-    nxt_new = _own(graph.nxt)
-    prv_new = _own(graph.prv)
+    nxt_new = graph.nxt = _own(graph.nxt)
+    prv_new = graph.prv = _own(graph.prv)
     if dfw.any():
         prv_new[new_start[dfw]] = NULL
     if drc.any():
@@ -766,58 +790,63 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
         nxt_new[se_end[no]] = NULL
         prv_new[se_start[np.flatnonzero(prv_se < 0)]] = NULL
 
+    # --- in-place slot updates: old chain slots die, claimed rep
+    # slots are rewritten; carried loops and unchanged chains keep
+    # their slots (and their `changed` flags) untouched
+    alive_new = graph.alive
+    alive_new[lv] = False
+    alive_new[delete] = False
+    alive_new[slots] = True
+    graph.start[slots] = v_start
+    graph.end[slots] = v_end
+    graph.rc_start[slots] = s.rc[v_end]
+    graph.rc_end[slots] = s.rc[v_start]
+    graph.length[slots] = len_per[v_first].astype(np.int32)
+    graph.total_depth[slots] = dep_per[v_first]
+    graph.is_loop[slots] = v_loop
+    graph.is_palindrome[slots] = v_first == v_pairf
+    # reference changed semantics (_propagate_changed): an untouched
+    # chain keeps its flag; a merged/cycled chain is "new" - flagged
+    # per set_changed mode
+    graph.changed[slots[ch_chain]] = set_changed
+
     # NEW cycles: re-anchor members' chain_start at the anchor (end)
-    # edge (v_start/v_end already follow the reference's rep-slot
-    # begin-edge convention; v_start == nxt_new[v_end] by construction)
-    new_loops = np.flatnonzero(v_loop)
-    if len(new_loops) and len(ce):
-        # new-cycle members are a subset of ce (in_cycle => changed)
-        is_new_loop = np.zeros(max(nv, 1), dtype=bool)
-        is_new_loop[new_loops] = True
-        vce = rowmap[ov[ce]]
-        sel = (vce >= 0) & is_new_loop[np.maximum(vce, 0)]
-        chain_start_new[ce[sel]] = v_end[vce[sel]]
+    # edge (start == nxt_new[end] by construction)
+    if v_loop.any() and se_ce is not None and len(ce):
+        is_new_loop_slot = np.zeros(graph.size, dtype=bool)
+        is_new_loop_slot[slots[v_loop]] = True
+        vce = graph.vid[ce]
+        sel = is_new_loop_slot[np.maximum(vce, 0)] & (vce >= 0)
+        chain_start_new[ce[sel]] = graph.end[vce[sel]]
 
-    v_rc_start = s.rc[v_end]
-    v_rc_end = s.rc[v_start]
+    # reset marks for the next pass (the old API returned a fresh
+    # graph with zeroed marks)
+    graph.to_delete[:] = False
+    graph.to_disconnect_fwd[:] = False
+    graph.to_disconnect_rc[:] = False
+    # amortized compaction: once under half the slots are alive, pay
+    # one order-preserving remap so the per-pass V-sized cleaning work
+    # tracks the live vertex count (geometric, so the total remap cost
+    # is ~2 full passes instead of one per refresh)
+    if graph.alive.sum() * 2 < graph.size:
+        _compact(graph)
+    return graph
 
-    # append carried loop rows
-    def cat(a, b):
-        return np.concatenate([a, b]) if len(b) else a
 
-    a_start = cat(v_start, graph.start[ll]).astype(np.int32)
-    a_end = cat(v_end, graph.end[ll]).astype(np.int32)
-    a_loop = cat(v_loop, graph.is_loop[ll])
-    # reference row order: stable compaction by representative OLD
-    # slot (chains, new cycles and carried loops interleaved); rep
-    # slots are unique across the three classes
-    a_rep = cat(v_rep_slot, ll.astype(np.int64))
-    perm = np.argsort(a_rep, kind="stable")
-    inv = np.empty(len(perm), dtype=np.int32)
-    inv[perm] = np.arange(len(perm), dtype=np.int32)
-    # fold the final row permutation into the V-sized map, then ONE
-    # gather builds the per-edge vid
-    final_map = inv[np.maximum(rowmap, 0)]
-    final_map[rowmap < 0] = NULL
-    vid_new = np.where(okv, final_map[safe], NULL).astype(np.int32)
-
-    g2 = UnitigGraph(
-        graph.k, s,
-        a_start[perm], a_end[perm],
-        cat(v_rc_start, graph.rc_start[ll]).astype(np.int32)[perm],
-        cat(v_rc_end, graph.rc_end[ll]).astype(np.int32)[perm],
-        cat(v_len, graph.length[ll]).astype(np.int32)[perm],
-        cat(v_dep, graph.total_depth[ll]).astype(np.int64)[perm],
-        a_loop[perm],
-        cat(v_pal, graph.is_palindrome[ll])[perm],
-        vid_new,
-        chain_start=chain_start_new, edge_pos=edge_pos_new,
-        nxt=nxt_new, prv=prv_new,
-    )
-    _propagate_changed(graph, g2, set_changed)
-    # the old graph's per-edge arrays were consumed (updated in
-    # place); null them so a stale reference fails fast instead of
-    # silently reading the NEW graph's values
-    graph.chain_start = graph.edge_pos = None
-    graph.nxt = graph.prv = None
-    return g2
+def _compact(graph: UnitigGraph) -> UnitigGraph:
+    """Compact alive slots to dense rows IN ORDER (ascending slots ==
+    the reference's stable compaction, so every row-order tie-break is
+    unchanged). One full-edge vid gather - only at compaction."""
+    alive_rows = np.flatnonzero(graph.alive)
+    remap = np.full(graph.size, NULL, np.int32)
+    remap[alive_rows] = np.arange(len(alive_rows), dtype=np.int32)
+    for f in ("start", "end", "rc_start", "rc_end", "length",
+              "total_depth", "is_loop", "is_palindrome", "changed",
+              "to_delete", "to_disconnect_fwd", "to_disconnect_rc"):
+        setattr(graph, f, getattr(graph, f)[alive_rows])
+    ok = (graph.vid >= 0) & graph.sdbg.valid
+    graph.vid = np.where(
+        ok, remap[np.maximum(graph.vid, 0)], NULL
+    ).astype(np.int32)
+    graph.alive = np.ones(len(alive_rows), dtype=bool)
+    return graph
