@@ -213,7 +213,8 @@ def plan_rounds(counts: np.ndarray, budget_rows: int) -> list[tuple[int, int]]:
 @dataclass
 class PoolSource:
     """A packed sequence pool: every k-window of every sequence, both
-    strands, carrying its sequence's multiplicity."""
+    strands, carrying its sequence's multiplicity. flat_codes may be
+    raw u8 codes or a PackedPool (streamed in bounded windows)."""
 
     flat_codes: np.ndarray
     starts: np.ndarray
@@ -232,38 +233,35 @@ class EdgeSource:
 def _spill_pool(spill: SpillSet, src: PoolSource, k: int,
                 batch_windows: int) -> int:
     """Stream-extract all window rows of a pool into the spill set.
-    Mirrors sdbg.window_edge_multiset's chunking, but rows go to disk
-    instead of host lists. Returns total rows spilled."""
-    import jax
+    FULLY windowed: only one chunk of packed words / validity / mults
+    is ever resident, so the pass handles pools larger than RAM
+    (reference AsyncSequenceReader batches, async_sequence_reader.h).
+    Returns total rows spilled."""
+    from .counter import as_pool, window_valid_range
 
     w = kmerops.words_per_kmer(k)
     n_bases = int(src.starts[-1])
     if n_bases < k:
         return 0
-    valid_all = window_valid_mask(src.starts, k, n_bases)
-    if not valid_all.any():
-        return 0
-    packed_np = np.concatenate(
-        [pack_flat(src.flat_codes), np.zeros(w + 1, dtype=np.uint32)]
-    )
-    packed = jnp.asarray(packed_np)
-    mult_at = np.repeat(
-        np.asarray(src.mults, dtype=np.int32), np.diff(src.starts)
-    )
-    n_dense = (len(packed_np) - w) * 16
+    pool = as_pool(src.flat_codes)
+    mults = np.asarray(src.mults, dtype=np.int32)
+    total_words = pool.n_words + w + 1
+    n_dense = (total_words - w) * 16
     chunk = max(1 << 16, (batch_windows + 15) & ~15)
     total = 0
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)
         lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        size = min((hi + 15) // 16 + w + 1, total_words) - lo_w
+        sub = jnp.asarray(pool.window_padded(lo_w, size))
         fwd = np.asarray(kmerops.extract_all_kmers(sub, k))
         span = min(min(hi, n_bases) - lo, fwd.shape[0])
-        vm = valid_all[lo : lo + span]
+        vm = window_valid_range(src.starts, k, lo, lo + span)
         fwd_c = fwd[:span][vm]
         rc_c = np_revcomp(fwd_c, k)
-        mm = mult_at[lo : lo + span][vm].astype(np.uint32)
+        posv = np.flatnonzero(vm) + lo
+        si = np.searchsorted(src.starts, posv, side="right") - 1
+        mm = mults[si].astype(np.uint32)
         rows = np.empty((2 * len(fwd_c), w + 1), np.uint32)
         rows[: len(fwd_c), :w] = fwd_c
         rows[len(fwd_c):, :w] = rc_c

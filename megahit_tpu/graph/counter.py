@@ -64,6 +64,33 @@ def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
     return np.cumsum(delta[:-1], dtype=np.int32) > 0
 
 
+def window_valid_range(starts: np.ndarray, k: int, lo: int, hi: int
+                       ) -> np.ndarray:
+    """window_valid_mask for positions [lo, hi) only - O(range), so
+    chunked scans never materialize a whole-pool mask."""
+    n = hi - lo
+    if n <= 0:
+        return np.zeros(0, dtype=bool)
+    p = np.arange(lo, hi, dtype=np.int64)
+    si = np.searchsorted(starts, p, side="right") - 1
+    si = np.clip(si, 0, len(starts) - 2)
+    return (p >= starts[si]) & (p + k <= starts[si + 1])
+
+
+def num_windows(starts: np.ndarray, k: int) -> int:
+    """Total k-windows inside sequences (== window_valid_mask.sum())."""
+    return int(np.maximum(np.diff(starts) - k + 1, 0).sum())
+
+
+def as_pool(pool_or_codes):
+    """Accept either a PackedPool or raw u8 base codes (tests/legacy)."""
+    from ..io.lib import PackedPool
+
+    if isinstance(pool_or_codes, PackedPool):
+        return pool_or_codes
+    return PackedPool.from_codes(pool_or_codes)
+
+
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:
     pad = (-len(flat_codes)) % 16
     padded = np.concatenate(
@@ -165,6 +192,7 @@ def count_canonical_kmers(
     (kmer_counter.cpp:114-156, 254-381).
     """
     log = get_logger()
+    pool = as_pool(flat_codes)
     w = kmerops.words_per_kmer(k1)
     n_bases = int(starts[-1])
     n = n_bases - k1 + 1
@@ -177,22 +205,16 @@ def count_canonical_kmers(
              np.zeros((0, w), dtype=np.uint32))
     if n <= 0:
         return ret(*empty)
-    valid_all = window_valid_mask(starts, k1, n_bases)
-    n = int(valid_all.sum())
+    n = num_windows(starts, k1)
     if n == 0:
         return ret(*empty)
-    packed_np = pack_flat(flat_codes)
-    # pad so every base offset has a full (W+1)-word window to read from
-    packed_np = np.concatenate(
-        [packed_np, np.zeros(w + 1, dtype=np.uint32)]
-    )
-    packed = jnp.asarray(packed_np)
+    total_words = pool.n_words + w + 1
 
     # dense extraction over word-range chunks, host-compacted by
     # validity; on TPU the fused pallas kernel produces phase-grouped
     # (W, M) columns (order is irrelevant: everything is sorted next)
     use_pallas = jax.default_backend() not in ("cpu",)
-    n_dense = (len(packed_np) - w) * 16
+    n_dense = (total_words - w) * 16
     # chunk starts must be word-aligned (lo // 16 assumes 16 | lo)
     chunk = max(1 << 16, (batch_windows + 15) & ~15)
 
@@ -201,10 +223,11 @@ def count_canonical_kmers(
         # ~E distinct rows instead of all N sorted keys
         from ..core.pallas_kernels import phase_grouped_mask
 
-        q = len(packed_np) - w
+        packed = jnp.asarray(pool.window_padded(0, total_words))
+        q = total_words - w
         vm = np.zeros(q * 16, dtype=bool)
         span = min(q * 16, n_bases)
-        vm[:span] = valid_all[:span]
+        vm[:span] = window_valid_range(starts, k1, 0, span)
         pm = phase_grouped_mask(vm)
         cap = _pow2_pad(max(n // 4, 1 << 16))
         keys_c, counts_c, nd = _count_device_fused(
@@ -237,11 +260,11 @@ def count_canonical_kmers(
         for lo in range(0, n_bases, chunk):
             hi = min(n_dense, lo + chunk)
             lo_w, hi_w = lo // 16, (hi + 15) // 16
-            size = min(hi_w + w + 1, len(packed_np)) - lo_w
-            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            size = min(hi_w + w + 1, total_words) - lo_w
+            sub = jnp.asarray(pool.window_padded(lo_w, size))
             span = min(min(hi, n_bases) - lo, (size - w) * 16)
             vm = np.zeros((size - w) * 16, dtype=bool)
-            vm[:span] = valid_all[lo : lo + span]
+            vm[:span] = window_valid_range(starts, k1, lo, lo + span)
             n_inv += int(len(vm) - vm.sum())
             # fetched buffers may be non-contiguous views (tunneled
             # TPU backend); .view(uint64) needs a contiguous last axis
@@ -286,11 +309,11 @@ def count_canonical_kmers(
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)
         lo_w, hi_w = lo // 16, (hi + 15) // 16
-        size = min(hi_w + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        size = min(hi_w + w + 1, total_words) - lo_w
+        sub = jnp.asarray(pool.window_padded(lo_w, size))
         span = min(min(hi, n_bases) - lo, (size - w) * 16)
         vm = np.zeros((size - w) * 16, dtype=bool)
-        vm[:span] = valid_all[lo : lo + span]
+        vm[:span] = window_valid_range(starts, k1, lo, lo + span)
         if use_pallas:
             from ..core.pallas_kernels import (
                 canonical_all_kmers_pallas, phase_grouped_mask,

@@ -161,10 +161,13 @@ def find_next_kmers(
     if n_bases < k2 or index.size == 0:
         return (np.zeros((0, w2), np.uint32), np.zeros(0, np.int32))
 
+    from .counter import as_pool
+
     w1 = kmerops.words_per_kmer(k1)
-    packed_np = pack_flat(flat_codes)
+    pool = as_pool(flat_codes)
     packed_np = np.concatenate(
-        [packed_np, np.zeros(max(w1, w2) + 1, dtype=np.uint32)]
+        [pool.window_padded(0, pool.n_words),
+         np.zeros(max(w1, w2) + 1, dtype=np.uint32)]
     )
     packed = jnp.asarray(packed_np)
     fkeys = jnp.asarray(index.keys)
@@ -224,7 +227,7 @@ def find_next_kmers(
             break
         h = hfv[rows]
         rows = rows[
-            (flat_codes[hpos[rows] + k1 + j] == index.ext_bases[h, j])
+            (pool.bases_at(hpos[rows] + k1 + j) == index.ext_bases[h, j])
             & (j < index.ext_len[h])
         ]
         m_fwd[rows] = j + 1
@@ -263,7 +266,7 @@ def find_next_kmers(
             break
         h = hfv[rows]
         rows = rows[
-            (flat_codes[hpos[rows] + k1 + j] == index.ext_bases[h, j])
+            (pool.bases_at(hpos[rows] + k1 + j) == index.ext_bases[h, j])
             & (j < index.ext_len[h])
         ]
         tgt = hpos[rows] + j + 1
@@ -276,7 +279,7 @@ def find_next_kmers(
             break
         h = hrv[rows]
         rows = rows[
-            ((3 - flat_codes[hpos[rows] - 1 - j]) == index.ext_bases[h, j])
+            ((3 - pool.bases_at(hpos[rows] - 1 - j)) == index.ext_bases[h, j])
             & (j < index.ext_len[h])
         ]
         mark_parts.append(hpos[rows] - 1 - j)

@@ -216,8 +216,12 @@ def find_mercy_edges(
     if n_bases < k1 or len(solid_keys) == 0:
         return np.zeros((0, w), dtype=np.uint32)
 
-    packed_np = pack_flat(flat_codes)
-    packed_np = np.concatenate([packed_np, np.zeros(w + 1, dtype=np.uint32)])
+    from .counter import as_pool
+
+    pool = as_pool(flat_codes)
+    packed_np = np.concatenate(
+        [pool.window_padded(0, pool.n_words),
+         np.zeros(w + 1, dtype=np.uint32)])
     packed = jnp.asarray(packed_np)
 
     n_dense = (len(packed_np) - w) * 16

@@ -761,21 +761,20 @@ def build_sdbg(
     extraction -> device lexicographic sort -> segment-max dedup ->
     batched binary-search neighbour tables.
     """
-    from .counter import window_valid_mask
+    from .counter import num_windows
 
     w = kmerops.words_per_kmer(k)
     n_bases = int(starts[-1])
     if n_bases < k:
         return Sdbg(k, np.zeros((0, w), np.uint32),
                     np.zeros(0, np.int32), valid=np.zeros(0, bool))
-    valid_all = window_valid_mask(starts, k, n_bases)
-    n = int(valid_all.sum())
+    n = num_windows(starts, k)
     if n == 0:
         return Sdbg(k, np.zeros((0, w), np.uint32),
                     np.zeros(0, np.int32), valid=np.zeros(0, bool))
 
     keys, mults = window_edge_multiset(
-        flat_codes, starts, seq_mults, k, valid_all, batch_windows
+        flat_codes, starts, seq_mults, k, None, batch_windows
     )
     return _finalize_sdbg(keys, mults, k, n_windows=n)
 
@@ -791,38 +790,39 @@ def window_edge_multiset(
     """Raw both-strand edge multiset (keys, mults) of all k-windows -
     the pre-finalize half of build_sdbg, exposed so callers can merge
     several edge sources into ONE finalize (sort + join) pass."""
-    from .counter import window_valid_mask
+    from .counter import as_pool, window_valid_range
 
     w = kmerops.words_per_kmer(k)
     n_bases = int(starts[-1])
-    if valid_all is None:
-        valid_all = window_valid_mask(starts, k, n_bases)
-    packed_np = np.concatenate(
-        [pack_flat(flat_codes), np.zeros(w + 1, dtype=np.uint32)]
-    )
-    packed = jnp.asarray(packed_np)
+    pool = as_pool(flat_codes)
     seq_mults = np.asarray(seq_mults, dtype=np.int32)
-    mult_at = np.repeat(seq_mults, np.diff(starts))
 
     # dense gather-free extraction (see counter.count_canonical_kmers),
     # both strands via one revcomp of the compacted forward keys;
-    # chunk starts must stay word-aligned
-    n_dense = (len(packed_np) - w) * 16
+    # chunk starts must stay word-aligned; FULLY windowed (one chunk of
+    # packed words / validity / mults resident at a time)
+    total_words = pool.n_words + w + 1
+    n_dense = (total_words - w) * 16
     chunk = max(1 << 16, (batch_windows + 15) & ~15)
     chunks_k, chunks_m = [], []
     for lo in range(0, n_bases, chunk):
         hi = min(n_dense, lo + chunk)
         lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+        size = min((hi + 15) // 16 + w + 1, total_words) - lo_w
+        sub = jnp.asarray(pool.window_padded(lo_w, size))
         fwd = kmerops.extract_all_kmers(sub, k)
         span = min(min(hi, n_bases) - lo, fwd.shape[0])
-        vm = valid_all[lo : lo + span]
+        if valid_all is not None:
+            vm = valid_all[lo : lo + span]
+        else:
+            vm = window_valid_range(starts, k, lo, lo + span)
         fwd_c = jnp.asarray(np.asarray(fwd[:span])[vm])
         rc_c = kmerops.revcomp_kmers(fwd_c, k)
         chunks_k.append(np.asarray(fwd_c))
         chunks_k.append(np.asarray(rc_c))
-        mm = mult_at[lo : lo + span][vm]
+        posv = np.flatnonzero(vm) + lo
+        si = np.searchsorted(starts, posv, side="right") - 1
+        mm = seq_mults[si]
         chunks_m.append(mm)
         chunks_m.append(mm)
         if hi >= n_dense:

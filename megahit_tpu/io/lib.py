@@ -11,20 +11,141 @@ is_paired) and the packed reads.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import numpy as np
 
 
+class PackedPool:
+    """2-bit packed base pool (16 bases per big-endian u32 word - the
+    key layout everywhere). Backing store is either an in-RAM word
+    array or a window into a raw file on disk: consumers only ever
+    materialize bounded windows, so host RSS stays independent of pool
+    size (the reference's bounded double-buffered reader batches,
+    async_sequence_reader.h:46-47, generalized to every pool scan)."""
 
-@dataclass
+    def __init__(self, n_bases: int, words: np.ndarray | None = None,
+                 path: str | None = None, byte_offset: int = 0):
+        self.n_bases = int(n_bases)
+        self.n_words = (self.n_bases + 15) // 16
+        self._words = words
+        self._path = path
+        self._off = int(byte_offset)
+        self._mmap = None
+
+    @classmethod
+    def from_codes(cls, flat_codes: np.ndarray) -> "PackedPool":
+        from ..graph.counter import pack_flat
+
+        flat_codes = np.asarray(flat_codes, dtype=np.uint8)
+        return cls(len(flat_codes), words=pack_flat(flat_codes))
+
+    @property
+    def in_ram(self) -> bool:
+        return self._words is not None
+
+    def window(self, lo_w: int, n_words: int) -> np.ndarray:
+        """u32 word window [lo_w, lo_w + n_words) clipped to the pool."""
+        hi = min(lo_w + n_words, self.n_words)
+        n = max(hi - lo_w, 0)
+        if self._words is not None:
+            return self._words[lo_w:lo_w + n]
+        return np.fromfile(self._path, dtype=np.uint32, count=n,
+                           offset=self._off + 4 * lo_w)
+
+    def window_padded(self, lo_w: int, n_words: int) -> np.ndarray:
+        """window zero-padded to exactly n_words (zero tail matches the
+        zero-padding every consumer used to append to the packed pool)."""
+        w = self.window(lo_w, n_words)
+        if len(w) < n_words:
+            out = np.zeros(n_words, np.uint32)
+            out[:len(w)] = w
+            return out
+        return w
+
+    def bases_at(self, pos: np.ndarray) -> np.ndarray:
+        """Base codes at sparse positions (disk mode via memmap: pages
+        touched are bounded by the touched positions)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        if self._words is not None:
+            wsrc = self._words
+        else:
+            if self._mmap is None:
+                self._mmap = np.memmap(
+                    self._path, dtype=np.uint32, mode="r",
+                    offset=self._off, shape=(self.n_words,),
+                )
+            wsrc = self._mmap
+        w = wsrc[np.minimum(pos >> 4, max(self.n_words - 1, 0))]
+        sh = (30 - 2 * (pos & 15)).astype(np.uint32)
+        return ((w >> sh) & 3).astype(np.uint8)
+
+    def codes(self, lo: int = 0, hi: int | None = None) -> np.ndarray:
+        """Unpacked base codes of [lo, hi) (bounded by the range)."""
+        if hi is None:
+            hi = self.n_bases
+        hi = min(hi, self.n_bases)
+        if hi <= lo:
+            return np.zeros(0, np.uint8)
+        lo_w, hi_w = lo // 16, (hi + 15) // 16
+        w = self.window(lo_w, hi_w - lo_w)
+        shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(
+            np.uint32)
+        codes = ((w[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
+        return codes[lo - lo_w * 16: hi - lo_w * 16]
+
+
+def _npz_member_data_offset(path: str, member: str):
+    """Byte offset of an uncompressed npz member's raw data (np.savez
+    uses ZIP_STORED, so the array bytes sit verbatim in the file)."""
+    import struct
+    import zipfile
+
+    from numpy.lib import format as npy_format
+
+    with zipfile.ZipFile(path) as z:
+        info = z.getinfo(member + ".npy")
+        if info.compress_type != zipfile.ZIP_STORED:
+            return None
+    with open(path, "rb") as f:
+        f.seek(info.header_offset)
+        hdr = f.read(30)
+        if hdr[:4] != b"PK\x03\x04":
+            return None
+        name_len = struct.unpack("<H", hdr[26:28])[0]
+        extra_len = struct.unpack("<H", hdr[28:30])[0]
+        f.seek(info.header_offset + 30 + name_len + extra_len)
+        version = npy_format.read_magic(f)
+        npy_format._check_version(version)
+        shape, fortran, dtype = npy_format._read_array_header(f, version)
+        if fortran or dtype != np.dtype(np.uint32):
+            return None
+        return f.tell()
+
+
 class SequenceLib:
-    """All reads, concatenated. Paired reads are interleaved (fwd, rev)."""
+    """All reads, concatenated. Paired reads are interleaved (fwd, rev).
 
-    flat_codes: np.ndarray  # (B,) uint8
-    starts: np.ndarray  # (S+1,) int64
-    lib_ranges: list[tuple[int, int, bool]] = field(default_factory=list)
-    # (begin_seq, end_seq, is_paired) per library
+    The primary representation is the 2-bit PackedPool (0.25 B/base);
+    `flat_codes` (1 B/base) is derived lazily only for legacy callers."""
+
+    def __init__(self, flat_codes=None, starts=None, lib_ranges=None,
+                 pool: PackedPool | None = None):
+        self._flat = flat_codes
+        self._pool = pool
+        self.starts = starts if starts is not None \
+            else np.zeros(1, np.int64)
+        self.lib_ranges = list(lib_ranges) if lib_ranges else []
+
+    @property
+    def flat_codes(self) -> np.ndarray:
+        if self._flat is None:
+            self._flat = self._pool.codes(0, self.num_bases)
+        return self._flat
+
+    @property
+    def pool(self) -> PackedPool:
+        if self._pool is None:
+            self._pool = PackedPool.from_codes(self._flat)
+        return self._pool
 
     @property
     def num_seqs(self) -> int:
@@ -43,25 +164,21 @@ class SequenceLib:
         return int(self.lengths.max()) if self.num_seqs else 0
 
     def seq(self, i: int) -> np.ndarray:
-        return self.flat_codes[self.starts[i] : self.starts[i + 1]]
+        lo, hi = int(self.starts[i]), int(self.starts[i + 1])
+        if self._flat is not None:
+            return self._flat[lo:hi]
+        return self._pool.codes(lo, hi)
 
     def save(self, path: str) -> None:
         """2-bit packed on disk (the reference's .bin is 2-bit packed
         too, sequence_package.h:224-240); uncompressed npz - zlib on
         100M+ bases costs a minute for little gain over 2-bit."""
-        n = len(self.flat_codes)
-        nw = (n + 15) // 16
-        padded = np.zeros(nw * 16, dtype=np.uint8)
-        padded[:n] = self.flat_codes
-        shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
-        packed = (
-            (padded.reshape(nw, 16).astype(np.uint32) << shifts)
-            .sum(axis=1, dtype=np.uint32)
-        )
+        pool = self.pool
+        packed = pool.window_padded(0, pool.n_words)
         np.savez(
             path,
             packed=packed,
-            n_bases=np.int64(n),
+            n_bases=np.int64(self.num_bases),
             starts=self.starts,
             lib_ranges=np.array(
                 [(b, e, int(p)) for b, e, p in self.lib_ranges], dtype=np.int64
@@ -69,18 +186,25 @@ class SequenceLib:
         )
 
     @classmethod
-    def load(cls, path: str) -> "SequenceLib":
+    def load(cls, path: str, mode: str = "ram") -> "SequenceLib":
+        """mode="ram": packed words resident (0.25 B/base).
+        mode="window": the pool stays ON DISK; every scan reads
+        bounded windows straight out of the (uncompressed) npz."""
         z = np.load(path)
         ranges = [
             (int(b), int(e), bool(p)) for b, e, p in z["lib_ranges"]
         ]
         if "flat_codes" in z:  # legacy uncompressed-codes format
             return cls(z["flat_codes"], z["starts"], ranges)
-        packed = z["packed"].astype(np.uint32)
         n = int(z["n_bases"])
-        shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
-        codes = ((packed[:, None] >> shifts) & 3).astype(np.uint8)
-        return cls(codes.reshape(-1)[:n], z["starts"], ranges)
+        starts = z["starts"]
+        if mode == "window":
+            off = _npz_member_data_offset(path, "packed")
+            if off is not None:
+                pool = PackedPool(n, path=path, byte_offset=off)
+                return cls(None, starts, ranges, pool=pool)
+        pool = PackedPool(n, words=z["packed"].astype(np.uint32))
+        return cls(None, starts, ranges, pool=pool)
 
 
 def _interleave_flat(f1, s1, f2, s2):

@@ -174,7 +174,7 @@ def run_local_assembly(
     if not contigs or lib.num_seqs == 0:
         return []
     index = build_seed_index(contig_codes)
-    res = map_reads(lib.flat_codes, lib.starts, index)
+    res = map_reads(lib.pool, lib.starts, index)
     insert_sizes = estimate_insert_sizes(lib, res)
     contig_lens = np.array([len(c) for c in contig_codes])
     entries = collect_mappings(lib, res, insert_sizes, contig_lens)

@@ -165,9 +165,13 @@ def map_reads(
     n_bases = int(starts[-1])
     if index.size == 0 or n_reads == 0 or n_bases < seed_k:
         return out
+    from ..graph.counter import as_pool
+
     w = kmerops.words_per_kmer(seed_k)
-    packed_np = pack_flat(flat_codes)
-    packed_np = np.concatenate([packed_np, np.zeros(w + 1, np.uint32)])
+    pool = as_pool(flat_codes)
+    packed_np = np.concatenate(
+        [pool.window_padded(0, pool.n_words),
+         np.zeros(w + 1, np.uint32)])
     packed = jnp.asarray(packed_np)
     # seed_k = 31 <= 32: host u64 binary search over the seed index
     # (device searchsorted costs log(S) random gathers per position)

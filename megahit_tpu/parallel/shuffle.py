@@ -295,7 +295,7 @@ def sharded_count_kmers(
     over `mesh`. Result keys are globally deduplicated (hash ownership)
     and sorted on host after the gather.
     """
-    from ..graph.counter import pack_flat, window_positions
+    from ..graph.counter import as_pool, window_positions
 
     n_dev = int(np.prod(list(mesh.shape.values())))
     positions = window_positions(starts, k1)
@@ -313,7 +313,8 @@ def sharded_count_kmers(
 
     from .multihost import fetch_global, put_global
 
-    packed = put_global(pack_flat(flat_codes), mesh, P())
+    pool = as_pool(flat_codes)
+    packed = put_global(pool.window_padded(0, pool.n_words), mesh, P())
     posd = put_global(pos, mesh, P(axis))
     vald = put_global(val, mesh, P(axis))
 

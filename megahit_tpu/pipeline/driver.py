@@ -151,7 +151,11 @@ class Pipeline:
 
     def _load_lib(self) -> SequenceLib:
         if self.lib is None:
-            self.lib = SequenceLib.load(self.lib_path)
+            # mem-flag 0 (minimum memory): the pool stays ON DISK and
+            # every scan reads bounded windows (reference mem_flag 0 =
+            # smallest Lv1 sizing, base_engine.cpp:103)
+            mode = "window" if self.opt.mem_flag == 0 else "ram"
+            self.lib = SequenceLib.load(self.lib_path, mode=mode)
         return self.lib
 
     def _budget_rows(self, w: int) -> int:
@@ -202,18 +206,18 @@ class Pipeline:
                 "mesh counting over %d devices", jax.device_count()
             )
             keys, counts = sharded_count_kmers(
-                lib.flat_codes, lib.starts, k1, o.min_count, mesh
+                lib.pool, lib.starts, k1, o.min_count, mesh
             )
         else:
             keys, counts, rare = count_canonical_kmers(
-                lib.flat_codes, lib.starts, k1, o.min_count,
+                lib.pool, lib.starts, k1, o.min_count,
                 batch_windows=self._batch_windows(),
                 return_rare=True,
             )
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
         if not o.no_mercy:
             mercy = find_mercy_edges(
-                lib.flat_codes, lib.starts, keys, k1,
+                lib.pool, lib.starts, keys, k1,
                 rare_keys=None if o.use_mesh else rare,
             )
             if len(mercy):
@@ -252,7 +256,7 @@ class Pipeline:
         stats = BuildStats()
         spill = os.path.join(self.tmp_dir, f"k{o.k_min}", "spill")
         sdbg = build_sdbg_bucketed(
-            [PoolSource(lib.flat_codes, lib.starts,
+            [PoolSource(lib.pool, lib.starts,
                         np.ones(lib.num_seqs, np.int32))],
             k1, self._budget_rows(words_per_kmer(k1)), spill,
             mesh=self._mesh(), batch_windows=self._batch_windows(),
@@ -271,7 +275,7 @@ class Pipeline:
         keys = sdbg.keys[canon]
         counts = sdbg.mult[canon]
         if not o.no_mercy:
-            mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys,
+            mercy = find_mercy_edges(lib.pool, lib.starts, keys,
                                      k1)
             if len(mercy):
                 keys = np.concatenate([keys, mercy], axis=0)
@@ -470,7 +474,7 @@ class Pipeline:
                     muls.append(r.multi)
         index = it.build_flank_index(contigs, muls, cur_k, step)
         keys, counts = it.find_next_kmers(
-            lib.flat_codes, lib.starts, index
+            lib.pool, lib.starts, index
         )
         np.savez(
             self.graph_prefix(next_k) + ".edges.npz",

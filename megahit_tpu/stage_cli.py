@@ -46,7 +46,7 @@ def cmd_count(args) -> int:
     lib = SequenceLib.load(args.lib)
     k1 = args.kmer_k + 1
     keys, counts = count_canonical_kmers(
-        lib.flat_codes, lib.starts, k1, args.min_count
+        lib.pool, lib.starts, k1, args.min_count
     )
     np.savez(args.output + ".edges.npz", keys=keys,
                         counts=counts)
@@ -80,7 +80,7 @@ def cmd_read2sdbg(args) -> int:
     stats = BuildStats()
     with tempfile.TemporaryDirectory(prefix="read2sdbg_") as tmp:
         sdbg = build_sdbg_bucketed(
-            [PoolSource(lib.flat_codes, lib.starts,
+            [PoolSource(lib.pool, lib.starts,
                         np.ones(lib.num_seqs, np.int32))],
             k1, budget_rows, os.path.join(tmp, "spill"),
             stats=stats, mult_mode="count", min_count=args.min_count,
@@ -89,7 +89,7 @@ def cmd_read2sdbg(args) -> int:
         idx = np.arange(sdbg.size, dtype=np.int64)
         canon = sdbg.valid & (idx <= sdbg.rc)
         keys, counts = sdbg.keys[canon], sdbg.mult[canon]
-        mercy = find_mercy_edges(lib.flat_codes, lib.starts, keys, k1)
+        mercy = find_mercy_edges(lib.pool, lib.starts, keys, k1)
         if len(mercy):
             keys = np.concatenate([keys, mercy])
             counts = np.concatenate(
@@ -129,7 +129,7 @@ def cmd_seq2sdbg(args) -> int:
                 return 1
             lib = SequenceLib.load(args.lib)
             mercy = find_mercy_edges(
-                lib.flat_codes, lib.starts, edge_keys, km
+                lib.pool, lib.starts, edge_keys, km
             )
             if len(mercy):
                 edge_keys = np.concatenate([edge_keys, mercy])
@@ -235,7 +235,7 @@ def cmd_iterate(args) -> int:
                 contigs.append(r.codes)
                 muls.append(r.multi)
     index = build_flank_index(contigs, muls, args.kmer_k, args.step)
-    keys, counts = find_next_kmers(lib.flat_codes, lib.starts, index)
+    keys, counts = find_next_kmers(lib.pool, lib.starts, index)
     np.savez(args.output + ".edges.npz", keys=keys,
                         counts=counts)
     print(f"{len(keys)} junction edges -> {args.output}.edges.npz")
