@@ -108,3 +108,34 @@ def test_weak_scaling_memory_invariant():
         assert int(np.asarray(n_over)[0]) == 0
         total = int(np.asarray(counts)[np.asarray(head)].sum())
         assert total == n_pos
+
+
+def test_weak_scaling_cpu_time_efficiency():
+    """ASSERTED weak scaling (VERDICT round-2 item 6), on the honest
+    metric this host can measure: virtual CPU devices share one
+    physical CPU, so wall time cannot speed up - but TOTAL CPU TIME
+    per unit of work measures the sharded implementation's overhead
+    (hash routing, all_to_all, per-shard sort padding). Ideal weak
+    scaling = CPU time grows linearly with total work; efficiency at
+    N devices = N * T_cpu(1 dev, W) / T_cpu(N dev, N*W). Asserted
+    >= 0.8 for 1 -> 4 devices (BASELINE.json north star), with a
+    warm-up pass so jit compiles are excluded."""
+    import time as _t
+
+    per_dev = 3000  # reads per device (~300 kbp/device)
+    meas = {}
+    for n_dev in (1, 4):
+        reads = _reads(per_dev * n_dev)
+        flat, starts = packing.pack_many(reads)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("shard",))
+        sharded_count_kmers(flat, starts, 22, 1, mesh)  # warm-up
+        best = np.inf
+        for _ in range(3):
+            c0 = _t.process_time()
+            sharded_count_kmers(flat, starts, 22, 1, mesh)
+            best = min(best, _t.process_time() - c0)
+        meas[n_dev] = best
+    eff = 4 * meas[1] / meas[4]
+    print(f"weak-scaling cpu-time: 1-dev {meas[1]*1e3:.0f} ms, "
+          f"4-dev {meas[4]*1e3:.0f} ms, efficiency {eff:.2f}")
+    assert eff >= 0.8, (meas, eff)
