@@ -99,3 +99,39 @@ def test_windowed_bucketed_build_bounds_rss(tmp_path):
     # multiset (~280 MB) or the unpacked pool (12 MB)
     assert grow < multiset_bytes * 0.5, (grow, multiset_bytes)
     assert sdbg.num_valid() < 1_000_000
+
+
+def test_assemble_never_materializes_candidate_tables(tmp_path):
+    """VERDICT round-2 item 4: cleaning must not materialize global
+    (E, 4) candidate tables. A full assemble over a real graph must
+    leave the lazy table views untouched, and the resident navigation
+    core must stay small per edge."""
+    from megahit_tpu.graph.sdbg import build_sdbg
+    from megahit_tpu.pipeline.assemble import AssembleOptions, assemble
+
+    genome = RNG.integers(0, 4, size=60_000).astype(np.uint8)
+    reads = [genome[s:s + 100] for s in range(0, len(genome) - 100, 3)]
+    # add errors to create tips/bubbles so every cleaning pass runs
+    for i in range(0, len(reads), 5):
+        r = reads[i].copy()
+        p = RNG.integers(0, len(r))
+        r[p] = (r[p] + 1) % 4
+        reads[i] = r
+    flat, starts = packing.pack_many(reads)
+    sdbg = build_sdbg(flat, starts, np.ones(len(reads), np.int32), 22)
+    res = assemble(sdbg, AssembleOptions(min_standalone=200,
+                                         careful_bubble=True))
+    assert len(res.contigs) > 0
+    # the (E,4) views must never have materialized during assembly
+    assert sdbg._oc_t is None and sdbg._ic_t is None
+    assert sdbg._oc_s is None and sdbg._ic_s is None
+    # resident navigation core: keys + mult + valid + rc + run_start +
+    # nxt_link + rvc (+ ref_rank once computed)
+    parts = [sdbg.keys, sdbg.mult, sdbg.valid, sdbg._rc,
+             sdbg._run_start, sdbg._nxt_link]
+    if sdbg._rvc is not None:
+        parts.append(sdbg._rvc)
+    if sdbg._ref_rank is not None:
+        parts.append(sdbg._ref_rank)
+    per_edge = sum(a.nbytes for a in parts) / max(sdbg.size, 1)
+    assert per_edge <= 36, per_edge  # vs ~93 B/edge with eager tables
