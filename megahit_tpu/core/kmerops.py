@@ -144,7 +144,15 @@ def mask_tail(keys: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _reverse_bases_in_word(x: jnp.ndarray) -> jnp.ndarray:
-    """Reverse the 16 2-bit groups within each uint32 (vectorized)."""
+    """Reverse the 16 2-bit groups within each uint32 (vectorized).
+
+    Host fast path: per-byte LUT + byte reversal (one gather + one
+    strided copy, ~4x the shift-mask ladder; see _REV2_LUT below)."""
+    if isinstance(x, np.ndarray):
+        b = _REV2_LUT[np.ascontiguousarray(x).view(np.uint8)]
+        return np.ascontiguousarray(
+            b.reshape(-1, 4)[:, ::-1]
+        ).view(np.uint32).reshape(x.shape)
     x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xCCCCCCCC)) >> U32(2))
     x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x & U32(0xF0F0F0F0)) >> U32(4))
     x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x & U32(0xFF00FF00)) >> U32(8))
@@ -156,8 +164,13 @@ def shift_left_bits(keys: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """Left-shift a (N, W) multi-word key by nbits (< 32), cross-word."""
     if nbits == 0:
         return keys
-    xp = _xp(keys)
     nb = U32(nbits)
+    if isinstance(keys, np.ndarray):
+        out = keys << nb
+        np.bitwise_or(out[..., :-1], keys[..., 1:] >> (U32(32) - nb),
+                      out=out[..., :-1])
+        return out
+    xp = _xp(keys)
     hi = keys << nb
     lo_src = xp.concatenate(
         [keys[..., 1:], xp.zeros_like(keys[..., :1])], axis=-1
@@ -447,6 +460,36 @@ def ref_order_u64(keys: np.ndarray, k: int) -> np.ndarray:
     rev = _reverse_bases_u64(node) << c(2 * (32 - (k - 1)))
     last = (u >> c(64 - 2 * k)) & c(3)
     return rev | (last << c(62 - 2 * (k - 1)))
+
+
+def searchsorted_blocked_np(target, queries, tgt_top, q_top,
+                            bits: int = 11) -> np.ndarray:
+    """np.searchsorted(target, queries) for LARGE sorted targets:
+    partition queries by the top `bits` of a u32 discriminant column
+    (the keys' leading bases) so every per-bucket search probes a
+    cache-resident target slice - binary search at 14M rows is DRAM-
+    latency-bound otherwise (measured 3.4x at 14M x 16-byte rows).
+    target/queries may be u64 scalars or void row views; tgt_top/q_top
+    are their top-32-bit u32 columns."""
+    n = len(target)
+    if n < (1 << 21) or len(queries) < (1 << 18):
+        return np.searchsorted(target, queries)
+    nb = 1 << bits
+    tb = (tgt_top >> np.uint32(32 - bits)).astype(np.int64)
+    bounds = np.searchsorted(tb, np.arange(nb + 1))
+    qb = (q_top >> np.uint32(32 - bits)).astype(np.uint16)
+    order = np.argsort(qb, kind="stable")
+    qs = queries[order]
+    qcounts = np.bincount(qb, minlength=nb)
+    out = np.empty(len(queries), np.int64)
+    off = 0
+    for b in np.nonzero(qcounts)[0]:
+        c = int(qcounts[b])
+        lo, hi = bounds[b], bounds[b + 1]
+        out[order[off:off + c]] = lo + np.searchsorted(
+            target[lo:hi], qs[off:off + c])
+        off += c
+    return out
 
 
 def argsort_rows_np(kn: np.ndarray) -> np.ndarray:

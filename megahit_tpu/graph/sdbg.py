@@ -482,13 +482,19 @@ def _nav_links(keys: np.ndarray, k: int):
         hrows = idx[head]
         hpref = prefix[head]
         suffix = (u << c(2)) & node_mask
-        pos = np.searchsorted(hpref, suffix)
+
+        def top32(a):
+            return (a >> c(32)).astype(np.uint32)
+
+        pos = kmerops.searchsorted_blocked_np(
+            hpref, suffix, top32(hpref), top32(suffix))
         posc = np.minimum(pos, len(hrows) - 1)
         found = hpref[posc] == suffix
         nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
         rc_u = (kmerops._reverse_bases_u64(~u) << c(2 * (32 - k))) \
             & (~c(0) << c(64 - 2 * k))
-        rc = np.searchsorted(u, rc_u).astype(np.int32)
+        rc = kmerops.searchsorted_blocked_np(
+            u, rc_u, top32(u), top32(rc_u)).astype(np.int32)
         return run_start, nxt_link, rc
 
     # general multi-word path: big-endian void views memcmp-compare in
@@ -506,13 +512,16 @@ def _nav_links(keys: np.ndarray, k: int):
     hpref = prefix[head]
     suffix = np.asarray(kmerops.mask_tail(
         np.asarray(kmerops.drop_first_base(keys, k)), k - 1))
-    pos = np.searchsorted(_void_rows(hpref), _void_rows(suffix))
+    pos = kmerops.searchsorted_blocked_np(
+        _void_rows(hpref), _void_rows(suffix),
+        hpref[:, 0], suffix[:, 0])
     posc = np.minimum(pos, len(hrows) - 1)
     found = (hpref[posc] == suffix).all(axis=1)
     nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
     rck = np.asarray(kmerops.revcomp_kmers(keys, k))
-    rc = np.searchsorted(_void_rows(keys), _void_rows(rck)).astype(
-        np.int32)
+    rc = kmerops.searchsorted_blocked_np(
+        _void_rows(keys), _void_rows(rck), keys[:, 0], rck[:, 0]
+    ).astype(np.int32)
     return run_start, nxt_link, rc
 
 

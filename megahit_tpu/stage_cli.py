@@ -152,23 +152,23 @@ def cmd_seq2sdbg(args) -> int:
             mults.append(r.multi)
 
     if seqs:
+        from .graph.sdbg import window_edge_multiset
+
         flat, starts = packing.pack_many(seqs)
-        sdbg = build_sdbg(
-            flat, starts, np.floor(np.asarray(mults) + 0.5).astype(np.int32),
-            km,
+        keys, kmults = window_edge_multiset(
+            flat, starts,
+            np.floor(np.asarray(mults) + 0.5).astype(np.int32), km,
         )
         if edge_keys is not None and len(edge_keys):
+            # union BEFORE the single finalize pass (one sort, not two)
             rc = np.asarray(
                 kmerops.revcomp_kmers(jnp.asarray(edge_keys), km)
             )
-            all_k = np.concatenate(
-                [sdbg.keys[sdbg.valid], edge_keys, rc]
-            )
-            all_m = np.concatenate([
-                sdbg.mult[sdbg.valid], edge_counts, edge_counts,
+            keys = np.concatenate([keys, edge_keys, rc])
+            kmults = np.concatenate([
+                kmults, edge_counts, edge_counts,
             ]).astype(np.int32)
-            sdbg = _finalize_sdbg(all_k, all_m, km,
-                                  n_windows=len(all_k))
+        sdbg = _finalize_sdbg(keys, kmults, km, n_windows=len(keys))
     elif edge_keys is not None:
         sdbg = sdbg_from_edges(edge_keys, edge_counts, km)
     else:
