@@ -16,18 +16,18 @@ Design:
     budget (reference Lv1FindEndBuckets). Keys equal each other only
     within one bucket, so rounds never split a key group: no boundary
     exchange is ever needed.
-  * Pass 2 sorts each round on device (optionally sharded over a mesh
-    via the distributed sample sorter), dedups with max-multiplicity
-    (the mult word is the LAST sort word, so the max is the tail row of
-    each group), assigns global edge ids in round order (rounds are in
-    prefix order, so the concatenation is globally sorted), and spills
-    node-join rows and rc-query rows bucketed by THEIR key prefixes.
-  * Pass 3 re-loads each round, sorts its node rows, builds per-node
-    out/in candidate tables and scatters them into the global (E, 4)
-    arrays; rc indices come from a tag-paired sort-join per round.
+  * Pass 2 sorts each round - per-bucket batched device sorts over the
+    16-bit-prefix grouping (or the mesh-sharded sample sorter), dedups
+    with max/sum multiplicity (the mult word is the LAST sort word),
+    and appends the round's edges; rounds are in prefix order, so the
+    concatenation is the globally sorted edge set. Navigation
+    (run_start/nxt_link/rc) derives lazily from that sorted set inside
+    Sdbg (graph/sdbg.py _nav_links) - no node/rc join passes exist.
 
 Working-set memory is bounded by the round budget; the full window
 multiset only ever exists on disk (like the reference's edge files).
+The spill pass is double-buffered (host partition+write overlaps the
+next chunk's extraction) and round reads prefetch under the sorts.
 """
 
 from __future__ import annotations
@@ -243,34 +243,46 @@ def _spill_pool(spill: SpillSet, src: PoolSource, k: int,
     n_bases = int(src.starts[-1])
     if n_bases < k:
         return 0
+    from concurrent.futures import ThreadPoolExecutor
+
     pool = as_pool(src.flat_codes)
     mults = np.asarray(src.mults, dtype=np.int32)
     total_words = pool.n_words + w + 1
     n_dense = (total_words - w) * 16
     chunk = max(1 << 16, (batch_windows + 15) & ~15)
     total = 0
-    for lo in range(0, n_bases, chunk):
-        hi = min(n_dense, lo + chunk)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w + 1, total_words) - lo_w
-        sub = jnp.asarray(pool.window_padded(lo_w, size))
-        fwd = np.asarray(kmerops.extract_all_kmers(sub, k))
-        span = min(min(hi, n_bases) - lo, fwd.shape[0])
-        vm = window_valid_range(src.starts, k, lo, lo + span)
-        fwd_c = fwd[:span][vm]
-        rc_c = np_revcomp(fwd_c, k)
-        posv = np.flatnonzero(vm) + lo
-        si = np.searchsorted(src.starts, posv, side="right") - 1
-        mm = mults[si].astype(np.uint32)
-        rows = np.empty((2 * len(fwd_c), w + 1), np.uint32)
-        rows[: len(fwd_c), :w] = fwd_c
-        rows[len(fwd_c):, :w] = rc_c
-        rows[: len(fwd_c), w] = mm
-        rows[len(fwd_c):, w] = mm
-        spill.append(rows)
-        total += len(rows)
-        if hi >= n_dense:
-            break
+    # double-buffered: the host partition+write of chunk i overlaps
+    # the extraction of chunk i+1 (the reference's pipeline
+    # parallelism between reader and Lv0/Lv1 scans); SpillSet state is
+    # touched only by the single writer thread during the loop
+    pending = None
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for lo in range(0, n_bases, chunk):
+            hi = min(n_dense, lo + chunk)
+            lo_w = lo // 16
+            size = min((hi + 15) // 16 + w + 1, total_words) - lo_w
+            sub = jnp.asarray(pool.window_padded(lo_w, size))
+            fwd = np.asarray(kmerops.extract_all_kmers(sub, k))
+            span = min(min(hi, n_bases) - lo, fwd.shape[0])
+            vm = window_valid_range(src.starts, k, lo, lo + span)
+            fwd_c = fwd[:span][vm]
+            rc_c = np_revcomp(fwd_c, k)
+            posv = np.flatnonzero(vm) + lo
+            si = np.searchsorted(src.starts, posv, side="right") - 1
+            mm = mults[si].astype(np.uint32)
+            rows = np.empty((2 * len(fwd_c), w + 1), np.uint32)
+            rows[: len(fwd_c), :w] = fwd_c
+            rows[len(fwd_c):, :w] = rc_c
+            rows[: len(fwd_c), w] = mm
+            rows[len(fwd_c):, w] = mm
+            if pending is not None:
+                pending.result()
+            pending = ex.submit(spill.append, rows)
+            total += len(rows)
+            if hi >= n_dense:
+                break
+        if pending is not None:
+            pending.result()
     return total
 
 
@@ -530,11 +542,22 @@ def build_sdbg_bucketed(
     all_keys = []
     all_mult = []
     use_grouped = _use_bucket_sort(mesh)
-    for ri, (lo, hi) in enumerate(rounds):
+
+    # prefetch each round's spill files while the previous round sorts
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def _read(lo, hi):
         if use_grouped:
-            rows, bcounts = spill.read_range_grouped(lo, hi)
-        else:
-            rows = spill.read_range(lo, hi)
+            return spill.read_range_grouped(lo, hi)
+        return spill.read_range(lo, hi), None
+
+    nxt_fut = ex.submit(_read, *rounds[0]) if rounds else None
+    for ri, (lo, hi) in enumerate(rounds):
+        rows, bcounts = nxt_fut.result()
+        if ri + 1 < len(rounds):
+            nxt_fut = ex.submit(_read, *rounds[ri + 1])
         st.max_round_rows = max(st.max_round_rows, len(rows))
         if len(rows) == 0:
             continue
@@ -567,6 +590,7 @@ def build_sdbg_bucketed(
         del srows
         all_keys.append(edges)
         all_mult.append(mult)
+    ex.shutdown(wait=True)
     spill.cleanup()
 
     keys = np.concatenate(all_keys, axis=0) if all_keys else \
