@@ -67,14 +67,30 @@ def window_valid_mask(starts: np.ndarray, k: int, n_pos: int) -> np.ndarray:
 def window_valid_range(starts: np.ndarray, k: int, lo: int, hi: int
                        ) -> np.ndarray:
     """window_valid_mask for positions [lo, hi) only - O(range), so
-    chunked scans never materialize a whole-pool mask."""
+    chunked scans never materialize a whole-pool mask.
+
+    Invalid positions are exactly the per-read tails [end - k + 1, end)
+    (whole read when shorter than k), which are disjoint ascending
+    ranges - painting them is ~50x cheaper than per-position
+    searchsorted over a 10^8-position chunk."""
     n = hi - lo
     if n <= 0:
         return np.zeros(0, dtype=bool)
-    p = np.arange(lo, hi, dtype=np.int64)
-    si = np.searchsorted(starts, p, side="right") - 1
-    si = np.clip(si, 0, len(starts) - 2)
-    return (p >= starts[si]) & (p + k <= starts[si + 1])
+    out = np.ones(n, dtype=bool)
+    j0 = max(int(np.searchsorted(starts, lo, side="right")) - 1, 0)
+    j1 = int(np.searchsorted(starts, hi, side="left"))
+    s = starts[j0:j1].astype(np.int64)
+    e = starts[j0 + 1 : j1 + 1].astype(np.int64)
+    inv_s = np.maximum(np.maximum(e - k + 1, s), lo)
+    inv_e = np.minimum(e, hi)
+    seg = np.maximum(inv_e - inv_s, 0)
+    total = int(seg.sum())
+    if total:
+        idx = (np.repeat(inv_s - lo, seg)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(seg) - seg, seg))
+        out[idx] = False
+    return out
 
 
 def num_windows(starts: np.ndarray, k: int) -> int:
@@ -279,7 +295,10 @@ def count_canonical_kmers(
         u = np.concatenate(u_chunks) if len(u_chunks) > 1 \
             else np.array(u_chunks[0])
         del u_chunks
-        u.sort(kind="stable")
+        # default introsort: numpy's SIMD qsort does 131M u64 in ~2.4s
+        # where kind="stable" (timsort on u64) takes ~18s; equal u64
+        # values are indistinguishable, so stability buys nothing
+        u.sort()
         u = u[: len(u) - n_inv]  # sentinels sort to the tail
         assert len(u) == n, (len(u), n)
         head = np.empty(len(u), dtype=bool)

@@ -172,37 +172,47 @@ def find_next_kmers(
     packed = jnp.asarray(packed_np)
     fkeys = jnp.asarray(index.keys)
 
-    # chunked scan, SPARSE from the start: hits against the (small)
-    # flank index are rare relative to the read pool, so only hit
-    # positions leave the chunk loop and every downstream pass is
-    # over hit rows, never the full base pool
-    n_dense = (len(packed_np) - w1) * 16
-    pos_parts, hf_parts, hr_parts = [], [], []
-    for lo in range(0, n_bases, chunk_bases):
-        hi = min(n_dense, lo + chunk_bases)
-        lo_w = lo // 16
-        size = min((hi + 15) // 16 + w1 + 1, len(packed_np)) - lo_w
-        sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-        hf, hr = _flank_hits(sub, fkeys, k1)
-        hf, hr = np.asarray(hf), np.asarray(hr)
-        # clamp to [lo, hi): the word-aligned slice covers up to 16
-        # extra positions that belong to the NEXT chunk - emitting
-        # them twice would duplicate hit rows and break the ascending-
-        # hpos invariant the greedy-skip emulation depends on
-        span = min(min(hi, n_bases) - lo, len(hf))
-        loc = np.flatnonzero((hf[:span] >= 0) | (hr[:span] >= 0))
-        pos_parts.append(loc + lo)
-        hf_parts.append(hf[loc])
-        hr_parts.append(hr[loc])
-        if hi >= n_dense:
-            break
-    hpos = np.concatenate(pos_parts)
-    hfv = np.concatenate(hf_parts)
-    hrv = np.concatenate(hr_parts)
-    # the (k+1)-window must lie inside one read
-    hrid = np.searchsorted(starts, hpos, side="right") - 1
-    ok = hpos + k1 <= starts[hrid + 1]
-    hpos, hfv, hrv, hrid = hpos[ok], hfv[ok], hrv[ok], hrid[ok]
+    # native rolling-window scan: fwd + rc probes with a bitmap
+    # prefilter per position, threaded over read ranges; hits arrive
+    # position-sorted (the ascending-hpos invariant the greedy-skip
+    # emulation depends on) and window-inside-read by construction
+    from ..native import SCAN_BOTH, seed_scan
+
+    scan = seed_scan(packed_np, starts, k1, index.keys, SCAN_BOTH)
+    if scan is not None:
+        hpos, hrid, hfv, hrv, _ = scan
+        hpos = hpos.astype(np.int64)
+        hrid = hrid.astype(np.int64)
+    else:
+        # fallback (no toolchain): chunked device scan, SPARSE from
+        # the start - only hit positions leave the chunk loop
+        n_dense = (len(packed_np) - w1) * 16
+        pos_parts, hf_parts, hr_parts = [], [], []
+        for lo in range(0, n_bases, chunk_bases):
+            hi = min(n_dense, lo + chunk_bases)
+            lo_w = lo // 16
+            size = min((hi + 15) // 16 + w1 + 1, len(packed_np)) - lo_w
+            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+            hf, hr = _flank_hits(sub, fkeys, k1)
+            hf, hr = np.asarray(hf), np.asarray(hr)
+            # clamp to [lo, hi): the word-aligned slice covers up to 16
+            # extra positions that belong to the NEXT chunk - emitting
+            # them twice would duplicate hit rows and break the
+            # ascending-hpos invariant
+            span = min(min(hi, n_bases) - lo, len(hf))
+            loc = np.flatnonzero((hf[:span] >= 0) | (hr[:span] >= 0))
+            pos_parts.append(loc + lo)
+            hf_parts.append(hf[loc])
+            hr_parts.append(hr[loc])
+            if hi >= n_dense:
+                break
+        hpos = np.concatenate(pos_parts)
+        hfv = np.concatenate(hf_parts)
+        hrv = np.concatenate(hr_parts)
+        # the (k+1)-window must lie inside one read
+        hrid = np.searchsorted(starts, hpos, side="right") - 1
+        ok = hpos + k1 <= starts[hrid + 1]
+        hpos, hfv, hrv, hrid = hpos[ok], hfv[ok], hrv[ok], hrid[ok]
 
     # NOTE on multiplicity: the reference's flank index never stores
     # the contig mul it is handed (contig_flank_index.h:64 constructs

@@ -173,109 +173,114 @@ def map_reads(
         [pool.window_padded(0, pool.n_words),
          np.zeros(w + 1, np.uint32)])
     packed = jnp.asarray(packed_np)
-    # seed_k = 31 <= 32: host u64 binary search over the seed index
-    # (device searchsorted costs log(S) random gathers per position)
-    ikeys_u64 = kmerops.keys_to_u64(index.keys, seed_k)
 
-    # chunked scan, SPARSE from the start: only hit positions survive
-    # the chunk loop (hits are ~10% of positions on typical data), so
-    # every downstream pass is over hit rows, never the full base pool
-    n_dense = (len(packed_np) - w) * 16
-    sel_parts, h_parts, qrc_parts = [], [], []
-    from concurrent.futures import ThreadPoolExecutor
+    # native rolling-window scan: canonical probe + bitmap prefilter +
+    # binary search per position, threaded over read ranges; reads
+    # shorter than max(seed_k, 50) are unreliable and skipped
+    # (reference TryMap, hash_mapper.cpp:140)
+    from ..native import SCAN_CANON, seed_scan
 
-    from ..utils.threads import num_threads
+    scan = seed_scan(packed_np, starts, seed_k, index.keys,
+                     SCAN_CANON, min_read_len=max(seed_k, 50))
+    if scan is not None:
+        sel, rid, h, _, qrc_h = scan
+        lengths = np.diff(starts)
+    else:
+        # fallback (no toolchain): chunked device canonicalize + host
+        # u64 binary search; only hit positions survive the chunk loop
+        ikeys_u64 = kmerops.keys_to_u64(index.keys, seed_k)
+        n_dense = (len(packed_np) - w) * 16
+        sel_parts, h_parts, qrc_parts = [], [], []
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, num_threads())) as pool:
-        for lo in range(0, n_bases, chunk_bases):
-            hi = min(n_dense, lo + chunk_bases)
-            lo_w = lo // 16
-            size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
-            sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
-            canon, is_rc = _seed_canon(sub, seed_k)
-            canon, is_rc = np.asarray(canon), np.asarray(is_rc)
-            span = min(min(hi, n_bases) - lo, len(canon))
-            q = kmerops.keys_to_u64(canon[:span], seed_k)
-            pos, found = kmerops.member_sorted_mt(ikeys_u64, q, pool)
-            loc = np.flatnonzero(found)
-            sel_parts.append(loc + lo)
-            h_parts.append(pos[loc].astype(np.int32))
-            qrc_parts.append(is_rc[loc])
-            if hi >= n_dense:
-                break
-    sel = np.concatenate(sel_parts)
-    h = np.concatenate(h_parts)
-    qrc_h = np.concatenate(qrc_parts)
+        from ..utils.threads import num_threads
 
-    lengths = np.diff(starts)
-    rid = np.searchsorted(starts, sel, side="right") - 1
-    # window must lie inside one read; reads shorter than
-    # max(seed_k, 50) are unreliable (TryMap:140)
-    ok = (sel + seed_k <= starts[rid + 1]) & \
-        (lengths[rid] >= max(seed_k, 50))
-    sel, h, qrc_h, rid = sel[ok], h[ok], qrc_h[ok], rid[ok]
+        with ThreadPoolExecutor(max_workers=min(8, num_threads())) as tp:
+            for lo in range(0, n_bases, chunk_bases):
+                hi = min(n_dense, lo + chunk_bases)
+                lo_w = lo // 16
+                size = min((hi + 15) // 16 + w + 1, len(packed_np)) - lo_w
+                sub = jax.lax.dynamic_slice_in_dim(packed, lo_w, size)
+                canon, is_rc = _seed_canon(sub, seed_k)
+                canon, is_rc = np.asarray(canon), np.asarray(is_rc)
+                span = min(min(hi, n_bases) - lo, len(canon))
+                q = kmerops.keys_to_u64(canon[:span], seed_k)
+                pos, found = kmerops.member_sorted_mt(ikeys_u64, q, tp)
+                loc = np.flatnonzero(found)
+                sel_parts.append(loc + lo)
+                h_parts.append(pos[loc].astype(np.int32))
+                qrc_parts.append(is_rc[loc])
+                if hi >= n_dense:
+                    break
+        sel = np.concatenate(sel_parts)
+        h = np.concatenate(h_parts)
+        qrc_h = np.concatenate(qrc_parts)
+
+        lengths = np.diff(starts)
+        rid = np.searchsorted(starts, sel, side="right") - 1
+        # window must lie inside one read; reads shorter than
+        # max(seed_k, 50) are unreliable (TryMap:140)
+        ok = (sel + seed_k <= starts[rid + 1]) & \
+            (lengths[rid] >= max(seed_k, 50))
+        sel, h, qrc_h, rid = sel[ok], h[ok], qrc_h[ok], rid[ok]
     if len(sel) == 0:
         return out
-    rlen = lengths[rid]
-    # seed END position within the read (reference i)
-    i = (sel - starts[rid]) + seed_k - 1
-    cstrand = index.strand[h].astype(np.int64)
-    qstrand = qrc_h.astype(np.int64)
-    mstrand = cstrand ^ qstrand
-    coff = index.offset[h]
-    cid = index.contig_id[h].astype(np.int64)
-    clen = index.contig_lens[cid]
-
-    cfrom = np.where(
-        mstrand == 0, coff - (i - seed_k + 1), coff - (rlen - 1 - i)
+    # candidate identity is (read, contig, strand, diagonal): the
+    # clipped alignment fields are all functions of those four plus
+    # the read/contig lengths -- for both strands the unclipped span
+    # is [diag, diag + rlen - 1] on the contig and the query offsets
+    # are its clip amounts (fwd) / their mirror (rc). Deduplicate on
+    # that 4-tuple BEFORE any coordinate math: a perfectly mapped
+    # read produces ~rlen/sparsity hits on one diagonal, so adjacent
+    # duplicates dominate and hits arrive position-sorted (grouped by
+    # read).
+    rid = rid.astype(np.int32, copy=False)
+    rlen32 = lengths.astype(np.int32)
+    i = (sel - starts[rid]).astype(np.int32) + np.int32(seed_k - 1)
+    mstrand = (index.strand[h].astype(np.uint8)
+               ^ qrc_h.astype(np.uint8)).astype(np.int8)
+    coff = index.offset[h].astype(np.int32)
+    cid = index.contig_id[h]
+    rl = rlen32[rid]
+    diag = np.where(mstrand == 0, coff - i + np.int32(seed_k - 1),
+                    coff - rl + np.int32(1) + i)
+    # pass 1: drop consecutive repeats of the same candidate
+    nn = len(rid)
+    first = np.ones(nn, dtype=bool)
+    first[1:] = ((rid[1:] != rid[:-1]) | (cid[1:] != cid[:-1])
+                 | (mstrand[1:] != mstrand[:-1]) | (diag[1:] != diag[:-1]))
+    rid, cid, mstrand, diag = (
+        x[first] for x in (rid, cid, mstrand, diag)
     )
-    cto = np.where(
-        mstrand == 0, coff + seed_k - 1 + rlen - 1 - i, coff + i
-    )
-    cfrom = np.maximum(cfrom, 0)
-    cto = np.minimum(clen - 1, cto)
-    alen = cto - cfrom + 1
-    ok = (alen >= rlen) | (alen >= min_mapped_len)
-    qfrom = np.where(
-        mstrand == 0, i - (seed_k - 1) - (coff - cfrom), i - (cto - coff)
-    )
-    qto = np.where(
-        mstrand == 0, i - (seed_k - 1) + (cto - coff), i + (coff - cfrom)
-    )
-    sel, rid, cid, cfrom, cto, qfrom, qto, mstrand = (
-        x[ok] for x in (sel, rid, cid, cfrom, cto, qfrom, qto, mstrand)
-    )
-
-    # dedup candidates per read. The 7 fields pack into 3 u64 sort
-    # keys (less than half the lexsort passes of 7 int64 columns)
-    # when in-read offsets fit 16 bits; oversized inputs fall back to
-    # the full-width column sort.
-    if lengths.max() < (1 << 16) and cto.max(initial=0) < (1 << 32):
-        ka = (rid.astype(np.uint64) << np.uint64(1)) \
-            | mstrand.astype(np.uint64)
-        kb = (cid.astype(np.uint64) << np.uint64(32)) \
-            | cfrom.astype(np.uint64)
-        kc = (cto.astype(np.uint64) << np.uint64(32)) \
-            | (qfrom.astype(np.uint64) << np.uint64(16)) \
-            | qto.astype(np.uint64)
-        order = np.lexsort((kc, kb, ka))
-        ks, kbs, kcs = ka[order], kb[order], kc[order]
-        keep = np.ones(len(order), dtype=bool)
-        keep[1:] = (ks[1:] != ks[:-1]) | (kbs[1:] != kbs[:-1]) \
-            | (kcs[1:] != kcs[:-1])
-    else:
-        cols = (mstrand, qto, qfrom, cto, cfrom, cid, rid)
-        order = np.lexsort(cols)
-        keep = np.ones(len(order), dtype=bool)
-        srt = [c[order] for c in cols]
-        keep[1:] = np.logical_or.reduce(
-            [c[1:] != c[:-1] for c in srt]
-        )
+    # pass 2: full dedup via 2 packed u64 sort keys
+    ka = (rid.astype(np.uint64) << np.uint64(1)) \
+        | (mstrand & 1).astype(np.uint64)
+    kb = (cid.astype(np.uint64) << np.uint64(32)) \
+        | (diag.astype(np.int64) + (1 << 31)).astype(np.uint64)
+    order = np.lexsort((kb, ka))
+    kas, kbs = ka[order], kb[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (kas[1:] != kas[:-1]) | (kbs[1:] != kbs[:-1])
     sel_rows = order[keep]
-    rid, cid, cfrom, cto, qfrom, qto, mstrand = (
-        x[sel_rows] for x in
-        (rid, cid, cfrom, cto, qfrom, qto, mstrand)
+    rid, cid, mstrand, diag = (
+        x[sel_rows] for x in (rid, cid, mstrand, diag)
     )
+
+    # clipped alignment fields (reference TryMap candidate clipping,
+    # hash_mapper.cpp:174-214), now over the deduplicated set only
+    rl = rlen32[rid]
+    clen = index.contig_lens[cid].astype(np.int32)
+    cfrom = np.maximum(diag, 0)
+    cto = np.minimum(clen - np.int32(1), diag + rl - np.int32(1))
+    alen = cto - cfrom + np.int32(1)
+    ok = (alen >= rl) | (alen >= min_mapped_len)
+    rid, cid, mstrand, diag, cfrom, cto, rl = (
+        x[ok] for x in (rid, cid, mstrand, diag, cfrom, cto, rl)
+    )
+    qfrom = np.where(mstrand == 0, cfrom - diag,
+                     rl - np.int32(1) - (cto - diag))
+    qto = np.where(mstrand == 0, cto - diag,
+                   rl - np.int32(1) - (cfrom - diag))
     n_cand = len(rid)
     if n_cand == 0:
         return out

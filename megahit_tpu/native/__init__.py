@@ -162,6 +162,127 @@ def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+# ---------------------------------------------------------------------------
+# seedscan: rolling-window pool scan + parallel u64 sort (see seedscan.cpp)
+# ---------------------------------------------------------------------------
+
+_SS_SO = os.path.join(_DIR, "libseedscan.so")
+_SS_SRC = os.path.join(_DIR, "seedscan.cpp")
+_ss_lib = None
+_ss_tried = False
+
+
+class _ScanResult(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("rid", ctypes.POINTER(ctypes.c_int32)),
+        ("ia", ctypes.POINTER(ctypes.c_int32)),
+        ("ib", ctypes.POINTER(ctypes.c_int32)),
+        ("flag", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+def get_seedscan():
+    """The loaded seedscan library, or None (numpy/jax fallback)."""
+    global _ss_lib, _ss_tried
+    if _ss_lib is not None or _ss_tried:
+        return _ss_lib
+    _ss_tried = True
+    if not os.path.exists(_SS_SO) or (
+        os.path.exists(_SS_SRC)
+        and os.path.getmtime(_SS_SRC) > os.path.getmtime(_SS_SO)
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-pthread", _SS_SRC, "-o", _SS_SO],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            get_logger().debug("seedscan build failed: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_SS_SO)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.seed_scan.restype = ctypes.POINTER(_ScanResult)
+        lib.seed_scan.argtypes = [
+            u32p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, u32p, ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.seed_scan_free.restype = None
+        lib.seed_scan_free.argtypes = [ctypes.POINTER(_ScanResult)]
+        _ss_lib = lib
+    except OSError as e:
+        get_logger().debug("seedscan load failed: %s", e)
+    return _ss_lib
+
+
+SCAN_CANON = 0
+SCAN_FWD = 1
+SCAN_BOTH = 2
+
+
+def seed_scan(packed_words: np.ndarray, starts: np.ndarray, k: int,
+              table: np.ndarray, mode: int, min_read_len: int = 0):
+    """Scan every k-window of the packed pool against the sorted (T, W)
+    table. Returns (pos int64, rid int32, idx_a int32, idx_b
+    int32|None, flag u8) for hit positions only, ascending; or None
+    when native is unavailable (caller keeps its chunked numpy/jax
+    path).
+
+    mode SCAN_CANON: probe min(fwd, rc); idx_a = row, flag = is_rc.
+    mode SCAN_FWD:   probe fwd only; idx_a = row.
+    mode SCAN_BOTH:  probe fwd and rc; idx_a / idx_b = rows or -1.
+    """
+    lib = get_seedscan()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(table, dtype=np.uint32)
+    if table.ndim == 1:
+        table = table[:, None]
+    w = table.shape[1]
+    assert (k + 15) // 16 == w, (k, w)
+    packed_words = np.ascontiguousarray(packed_words, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n_reads = len(starts) - 1
+    assert len(packed_words) * 16 >= int(starts[-1])
+    res = lib.seed_scan(
+        packed_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_reads), k, w, mode,
+        ctypes.c_int64(min_read_len),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(len(table)),
+        _scan_threads(),
+    )
+    try:
+        n = res.contents.n
+        pos = np.ctypeslib.as_array(res.contents.pos, (n,)).copy() \
+            if n else np.zeros(0, np.int64)
+        rid = np.ctypeslib.as_array(res.contents.rid, (n,)).copy() \
+            if n else np.zeros(0, np.int32)
+        ia = np.ctypeslib.as_array(res.contents.ia, (n,)).copy() \
+            if n else np.zeros(0, np.int32)
+        ib = None
+        if mode == SCAN_BOTH:
+            ib = np.ctypeslib.as_array(res.contents.ib, (n,)).copy() \
+                if n else np.zeros(0, np.int32)
+        flag = np.ctypeslib.as_array(res.contents.flag, (n,)).copy() \
+            if n else np.zeros(0, np.uint8)
+    finally:
+        lib.seed_scan_free(res)
+    return pos, rid, ia, ib, flag
+
+
+def _scan_threads() -> int:
+    from ..utils.threads import num_threads
+
+    return max(1, min(16, num_threads()))
+
+
 def chain_rank(nxt: np.ndarray, prv: np.ndarray, valid: np.ndarray):
     """(chain_start, chain_end, pos, is_cycle) per edge, or None if
     the native library is unavailable (caller uses pointer doubling)."""

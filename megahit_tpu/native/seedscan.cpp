@@ -1,0 +1,341 @@
+// Native host cores for the read-pool scan stages and big flat sorts.
+//
+// seed_scan: rolling-window scan of the 2-bit packed base pool against
+// a sorted (W x u32, big-endian, left-aligned) k-mer table, with a
+// bitmap prefilter in front of the binary search. One sequential pass
+// per read replaces the per-position "extract dense k-mers -> device
+// canonicalize -> u64 convert -> searchsorted" pipeline of the mapper
+// (reference HashMapper::TryMap seed loop, src/localasm/hash_mapper.cpp:
+// 136-268) and the iterate flank probe (reference ContigFlankIndex::
+// FindNextKmersFromRead hash lookups, src/iterate/contig_flank_index.h:
+// 113-170). Multithreaded over read ranges; hit order == ascending
+// position order (threads own contiguous read ranges).
+//
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// base at global position p: word p/16, big-endian 2-bit lanes
+static inline uint32_t base_at(const uint32_t* pool, int64_t p) {
+  return (pool[p >> 4] >> (30 - 2 * (p & 15))) & 3u;
+}
+
+struct Key {
+  // left-aligned big-endian 2-bit window in W u32 words (tail zero)
+  uint32_t w[16];
+};
+
+static inline int cmp_rows(const uint32_t* a, const uint32_t* b, int W) {
+  for (int i = 0; i < W; ++i) {
+    if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+// lower_bound over (n, W) u32 rows
+static inline int64_t lower_bound_rows(const uint32_t* table, int64_t n,
+                                       int W, const uint32_t* q) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (cmp_rows(table + mid * W, q, W) < 0)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+static inline uint64_t head64(const uint32_t* q, int W) {
+  uint64_t h = (uint64_t)q[0] << 32;
+  if (W > 1) h |= q[1];
+  return h;
+}
+
+struct Bitmap {
+  std::vector<uint64_t> bits;
+  int log2n = 0;
+  void build(const uint32_t* table, int64_t n, int W) {
+    int64_t want = n * 48;
+    log2n = 16;
+    while (((int64_t)1 << log2n) < want && log2n < 30) ++log2n;
+    bits.assign(((int64_t)1 << log2n) >> 6, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      uint64_t h = head64(table + i * W, W) * 0x9E3779B97F4A7C15ull;
+      uint64_t b = h >> (64 - log2n);
+      bits[b >> 6] |= 1ull << (b & 63);
+    }
+  }
+  inline bool test(uint64_t head) const {
+    uint64_t h = head * 0x9E3779B97F4A7C15ull;
+    uint64_t b = h >> (64 - log2n);
+    return (bits[b >> 6] >> (b & 63)) & 1;
+  }
+};
+
+struct ThreadOut {
+  std::vector<int64_t> pos;
+  std::vector<int32_t> rid;
+  std::vector<int32_t> ia;
+  std::vector<int32_t> ib;
+  std::vector<uint8_t> flag;
+};
+
+enum Mode { MODE_CANON = 0, MODE_FWD = 1, MODE_BOTH = 2 };
+
+// u64 fast path (k <= 32): the whole window rides in one register as
+// (word0 << 32) | word1 -- identical numeric order to the (W, u32)
+// big-endian row order, so table indices line up with the row table.
+static void scan_range_u64(const uint32_t* pool, const int64_t* starts,
+                           int64_t r0, int64_t r1, int k, int mode,
+                           int64_t min_read_len, const uint64_t* table,
+                           int64_t n_table, const Bitmap& bm,
+                           ThreadOut* out) {
+  const int sh_in = 64 - 2 * k;  // left-aligned: lowest used bit index
+  const uint64_t mask = sh_in >= 64 ? 0 : (~0ull << sh_in);
+  auto probe = [&](uint64_t q) -> int64_t {
+    if (!bm.test(q)) return -1;
+    const uint64_t* it = std::lower_bound(table, table + n_table, q);
+    return (it != table + n_table && *it == q) ? it - table : -1;
+  };
+  for (int64_t r = r0; r < r1; ++r) {
+    int64_t s = starts[r], e = starts[r + 1];
+    int64_t len = e - s;
+    if (len < k || len < min_read_len) continue;
+    uint64_t fwd = 0, rc = 0;
+    for (int64_t j = 0; j < k; ++j) {
+      uint64_t b = base_at(pool, s + j);
+      fwd |= b << (62 - 2 * j);
+      rc |= (3ull - b) << (62 - 2 * (k - 1 - j));
+    }
+    for (int64_t p = s;; ++p) {
+      if (mode == MODE_CANON) {
+        uint64_t q = fwd <= rc ? fwd : rc;
+        int64_t i = probe(q);
+        if (i >= 0) {
+          out->pos.push_back(p);
+          out->rid.push_back((int32_t)r);
+          out->ia.push_back((int32_t)i);
+          out->flag.push_back(fwd <= rc ? 0 : 1);
+        }
+      } else if (mode == MODE_FWD) {
+        int64_t i = probe(fwd);
+        if (i >= 0) {
+          out->pos.push_back(p);
+          out->rid.push_back((int32_t)r);
+          out->ia.push_back((int32_t)i);
+        }
+      } else {
+        int32_t fa = (int32_t)probe(fwd);
+        int32_t fb = (int32_t)probe(rc);
+        if (fa >= 0 || fb >= 0) {
+          out->pos.push_back(p);
+          out->rid.push_back((int32_t)r);
+          out->ia.push_back(fa);
+          out->ib.push_back(fb);
+        }
+      }
+      if (p + k >= e) break;
+      uint64_t nb = base_at(pool, p + k);
+      fwd = ((fwd << 2) | (nb << sh_in)) & mask;
+      rc = ((rc >> 2) & mask) | ((3ull - nb) << 62);
+    }
+  }
+}
+
+static void scan_range(const uint32_t* pool, const int64_t* starts,
+                       int64_t r0, int64_t r1, int k, int W, int mode,
+                       int64_t min_read_len, const uint32_t* table,
+                       int64_t n_table, const Bitmap& bm, ThreadOut* out) {
+  // rolling fwd / rc windows in left-aligned big-endian W-word form
+  uint32_t fwd[16], rc[16], canon_buf[16];
+  const int last_wi = (k - 1) >> 4;           // word of base k-1
+  const int last_sh = 30 - 2 * ((k - 1) & 15);
+  // mask for clearing bits at positions >= 2k after the rc >> 2 shift
+  uint32_t tail_mask[16];
+  for (int i = 0; i < W; ++i) tail_mask[i] = 0xFFFFFFFFu;
+  {
+    int used = k - 16 * last_wi;  // bases in the last used word
+    tail_mask[last_wi] = used >= 16 ? 0xFFFFFFFFu
+                                    : ~((1u << (32 - 2 * used)) - 1u);
+    for (int i = last_wi + 1; i < W; ++i) tail_mask[i] = 0;
+  }
+  for (int64_t r = r0; r < r1; ++r) {
+    int64_t s = starts[r], e = starts[r + 1];
+    int64_t len = e - s;
+    if (len < k || len < min_read_len) continue;
+    // prime the first window
+    std::memset(fwd, 0, sizeof(uint32_t) * W);
+    std::memset(rc, 0, sizeof(uint32_t) * W);
+    for (int64_t j = 0; j < k; ++j) {
+      uint32_t b = base_at(pool, s + j);
+      fwd[j >> 4] |= b << (30 - 2 * (j & 15));
+      int64_t rj = k - 1 - j;
+      rc[rj >> 4] |= (3u - b) << (30 - 2 * (rj & 15));
+    }
+    for (int64_t p = s;; ++p) {
+      // probe the window starting at p
+      const uint32_t* q;
+      uint8_t is_rc = 0;
+      if (mode == MODE_CANON) {
+        int c = cmp_rows(fwd, rc, W);
+        if (c <= 0) {
+          q = fwd;
+        } else {
+          q = rc;
+          is_rc = 1;
+        }
+        std::memcpy(canon_buf, q, sizeof(uint32_t) * W);
+        if (bm.test(head64(canon_buf, W))) {
+          int64_t i = lower_bound_rows(table, n_table, W, canon_buf);
+          if (i < n_table && cmp_rows(table + i * W, canon_buf, W) == 0) {
+            out->pos.push_back(p);
+            out->rid.push_back((int32_t)r);
+            out->ia.push_back((int32_t)i);
+            out->flag.push_back(is_rc);
+          }
+        }
+      } else if (mode == MODE_FWD) {
+        if (bm.test(head64(fwd, W))) {
+          int64_t i = lower_bound_rows(table, n_table, W, fwd);
+          if (i < n_table && cmp_rows(table + i * W, fwd, W) == 0) {
+            out->pos.push_back(p);
+            out->rid.push_back((int32_t)r);
+            out->ia.push_back((int32_t)i);
+          }
+        }
+      } else {  // MODE_BOTH
+        int32_t fa = -1, fb = -1;
+        if (bm.test(head64(fwd, W))) {
+          int64_t i = lower_bound_rows(table, n_table, W, fwd);
+          if (i < n_table && cmp_rows(table + i * W, fwd, W) == 0)
+            fa = (int32_t)i;
+        }
+        if (bm.test(head64(rc, W))) {
+          int64_t i = lower_bound_rows(table, n_table, W, rc);
+          if (i < n_table && cmp_rows(table + i * W, rc, W) == 0)
+            fb = (int32_t)i;
+        }
+        if (fa >= 0 || fb >= 0) {
+          out->pos.push_back(p);
+          out->rid.push_back((int32_t)r);
+          out->ia.push_back(fa);
+          out->ib.push_back(fb);
+        }
+      }
+      if (p + k >= e) break;
+      // roll: append base at p + k
+      uint32_t nb = base_at(pool, p + k);
+      for (int i = 0; i < W - 1; ++i)
+        fwd[i] = (fwd[i] << 2) | (fwd[i + 1] >> 30);
+      fwd[W - 1] <<= 2;
+      fwd[last_wi] |= nb << last_sh;
+      for (int i = W - 1; i > 0; --i)
+        rc[i] = (rc[i] >> 2) | (rc[i - 1] << 30);
+      rc[0] = (rc[0] >> 2) | ((3u - nb) << 30);
+      for (int i = 0; i < W; ++i) rc[i] &= tail_mask[i];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct ScanResult {
+  int64_t n;
+  int64_t* pos;
+  int32_t* rid;
+  int32_t* ia;
+  int32_t* ib;
+  uint8_t* flag;
+};
+
+// Scan every length-k window fully inside one read of the packed pool
+// against the sorted table. mode: 0 = canonical (emit pos, table idx,
+// is_rc), 1 = forward only (pos, idx), 2 = both strands (pos, idx_fwd,
+// idx_rc; -1 where absent). Reads shorter than min_read_len skipped.
+ScanResult* seed_scan(const uint32_t* pool, const int64_t* starts,
+                      int64_t n_reads, int k, int W, int mode,
+                      int64_t min_read_len, const uint32_t* table,
+                      int64_t n_table, int n_threads) {
+  auto* res = (ScanResult*)std::calloc(1, sizeof(ScanResult));
+  if (n_table == 0 || n_reads == 0 || k <= 0 || W <= 0 || W > 16)
+    return res;
+  Bitmap bm;
+  bm.build(table, n_table, W);
+  int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  int64_t total_bases = starts[n_reads];
+  std::vector<ThreadOut> outs(T);
+  std::vector<std::thread> threads;
+  // split reads so each thread owns a contiguous, ~equal-base range
+  std::vector<int64_t> cut(T + 1, n_reads);
+  cut[0] = 0;
+  for (int t = 1; t < T; ++t) {
+    int64_t want = total_bases * t / T;
+    cut[t] = std::lower_bound(starts, starts + n_reads + 1, want) - starts;
+    if (cut[t] > n_reads) cut[t] = n_reads;
+  }
+  std::vector<uint64_t> table64;
+  if (k <= 32) {
+    table64.resize(n_table);
+    for (int64_t i = 0; i < n_table; ++i)
+      table64[i] = head64(table + i * W, W);
+  }
+  for (int t = 0; t < T; ++t) {
+    int64_t r0 = cut[t], r1 = cut[t + 1];
+    if (r0 >= r1) continue;
+    if (k <= 32)
+      threads.emplace_back(scan_range_u64, pool, starts, r0, r1, k,
+                           mode, min_read_len, table64.data(), n_table,
+                           std::cref(bm), &outs[t]);
+    else
+      threads.emplace_back(scan_range, pool, starts, r0, r1, k, W, mode,
+                           min_read_len, table, n_table, std::cref(bm),
+                           &outs[t]);
+  }
+  for (auto& th : threads) th.join();
+  int64_t n = 0;
+  for (auto& o : outs) n += (int64_t)o.pos.size();
+  res->n = n;
+  res->pos = (int64_t*)std::malloc(sizeof(int64_t) * (n ? n : 1));
+  res->rid = (int32_t*)std::malloc(sizeof(int32_t) * (n ? n : 1));
+  res->ia = (int32_t*)std::malloc(sizeof(int32_t) * (n ? n : 1));
+  res->flag = (uint8_t*)std::malloc(n ? n : 1);
+  bool both = mode == MODE_BOTH;
+  res->ib = both ? (int32_t*)std::malloc(sizeof(int32_t) * (n ? n : 1))
+                 : nullptr;
+  int64_t off = 0;
+  for (auto& o : outs) {
+    int64_t m = (int64_t)o.pos.size();
+    if (!m) continue;
+    std::memcpy(res->pos + off, o.pos.data(), sizeof(int64_t) * m);
+    std::memcpy(res->rid + off, o.rid.data(), sizeof(int32_t) * m);
+    std::memcpy(res->ia + off, o.ia.data(), sizeof(int32_t) * m);
+    if (both) std::memcpy(res->ib + off, o.ib.data(), sizeof(int32_t) * m);
+    if (!o.flag.empty())
+      std::memcpy(res->flag + off, o.flag.data(), m);
+    else
+      std::memset(res->flag + off, 0, m);
+    off += m;
+  }
+  return res;
+}
+
+void seed_scan_free(ScanResult* r) {
+  if (!r) return;
+  std::free(r->pos);
+  std::free(r->rid);
+  std::free(r->ia);
+  std::free(r->ib);
+  std::free(r->flag);
+  std::free(r);
+}
+
+}  // extern "C"

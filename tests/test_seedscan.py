@@ -1,0 +1,113 @@
+"""Native seed_scan parity vs a brute-force window oracle.
+
+Covers the u64 fast path (k <= 32), the generic multi-word path
+(k > 32), all three modes, read-boundary handling, min_read_len, and
+empty inputs. The mapper/iterate integrations are covered end-to-end
+by the oracle-parity tests; this pins the kernel itself.
+"""
+
+import bisect
+
+import numpy as np
+import pytest
+
+from megahit_tpu.core import packing
+from megahit_tpu.graph.counter import pack_flat
+from megahit_tpu.native import (
+    SCAN_BOTH, SCAN_CANON, SCAN_FWD, get_seedscan, seed_scan,
+)
+
+pytestmark = pytest.mark.skipif(
+    get_seedscan() is None, reason="native toolchain unavailable"
+)
+
+
+def _brute(codes_list, k, table_rows, mode, min_read_len=0):
+    out = []
+    tr = [tuple(r) for r in table_rows]
+    w = (k + 15) // 16
+
+    def find(q):
+        j = bisect.bisect_left(tr, q)
+        return j if j < len(tr) and tr[j] == q else -1
+
+    base = 0
+    for rid, codes in enumerate(codes_list):
+        if len(codes) >= max(k, min_read_len):
+            for i in range(len(codes) - k + 1):
+                win = codes[i:i + k]
+                fwd = tuple(packing.pack_codes(win)[:w])
+                rc = tuple(
+                    packing.pack_codes(packing.revcomp_codes(win))[:w]
+                )
+                if mode == SCAN_CANON:
+                    q, isrc = (fwd, 0) if fwd <= rc else (rc, 1)
+                    j = find(q)
+                    if j >= 0:
+                        out.append((base + i, rid, j, -1, isrc))
+                elif mode == SCAN_FWD:
+                    j = find(fwd)
+                    if j >= 0:
+                        out.append((base + i, rid, j, -1, 0))
+                else:
+                    jf, jr = find(fwd), find(rc)
+                    if jf >= 0 or jr >= 0:
+                        out.append((base + i, rid, jf, jr, 0))
+        base += len(codes)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_seed_scan_randomized(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(25):
+        k = int(rng.integers(2, 70))
+        w = (k + 15) // 16
+        n_reads = int(rng.integers(1, 12))
+        codes_list = [
+            rng.integers(0, 4, int(rng.integers(0, 90))).astype(np.uint8)
+            for _ in range(n_reads)
+        ]
+        starts = np.zeros(n_reads + 1, np.int64)
+        np.cumsum([len(c) for c in codes_list], out=starts[1:])
+        flat = (np.concatenate(codes_list) if starts[-1]
+                else np.zeros(0, np.uint8))
+        packed = pack_flat(flat)
+        rows = []
+        for codes in codes_list:
+            for i in range(0, max(len(codes) - k + 1, 0), 3):
+                win = codes[i:i + k]
+                if rng.random() < 0.5:
+                    win = packing.revcomp_codes(win)
+                rows.append(packing.pack_codes(win)[:w])
+        for _ in range(5):  # absent rows exercise the prefilter
+            r = np.zeros(w, np.uint32)
+            r[:] = rng.integers(0, 1 << 32, w, dtype=np.uint64).astype(
+                np.uint32)
+            used = k - 16 * (w - 1)
+            if used < 16:
+                r[w - 1] &= np.uint32(0xFFFFFFFF) << np.uint32(
+                    32 - 2 * used)
+            rows.append(r)
+        table = np.unique(np.array(rows, np.uint32).reshape(-1, w),
+                          axis=0)
+        mrl = int(rng.integers(0, 40))
+        for mode in (SCAN_CANON, SCAN_FWD, SCAN_BOTH):
+            pos, rid, ia, ib, flag = seed_scan(
+                packed, starts, k, table, mode, min_read_len=mrl
+            )
+            want = _brute(codes_list, k, table, mode, mrl)
+            ibl = ib.tolist() if ib is not None else [-1] * len(pos)
+            have = list(zip(pos.tolist(), rid.tolist(), ia.tolist(),
+                            ibl, flag.tolist()))
+            assert have == want, (k, mode, mrl)
+
+
+def test_seed_scan_empty_table():
+    codes = np.array([0, 1, 2, 3, 0, 1], np.uint8)
+    packed = pack_flat(codes)
+    starts = np.array([0, 6], np.int64)
+    pos, rid, ia, ib, flag = seed_scan(
+        packed, starts, 3, np.zeros((0, 1), np.uint32), SCAN_CANON
+    )
+    assert len(pos) == 0
