@@ -164,6 +164,13 @@ def _candidate_reads(packed, packed_np, rare_keys, k1, starts,
     cand = np.zeros(n_reads, dtype=bool)
     if len(rare_keys) == 0:
         return cand
+    from ..native import SCAN_CANON, seed_scan
+
+    scan = seed_scan(packed_np, starts, k1, rare_keys, SCAN_CANON)
+    if scan is not None:
+        _, rid, _, _, _ = scan
+        cand[rid] = True
+        return cand
     rare_u64 = kmerops.keys_to_u64(rare_keys, k1)
     w = kmerops.words_per_kmer(k1)
     n_bases = int(starts[-1])

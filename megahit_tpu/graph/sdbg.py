@@ -226,21 +226,22 @@ class Sdbg:
         if getattr(self, "_ref_rank", None) is None:
             n = self.size
             if jax.default_backend() == "cpu":
-                if self.k <= 32:
-                    cols = [kmerops.ref_order_u64(self.keys, self.k)]
-                else:
-                    cols = kmerops.pack_u64_columns(
-                        kmerops.ref_order_keys(self.keys, self.k)
-                    )
                 # invalid rows must rank after all valid ones: force
-                # their primary column to the max sentinel (real keys
-                # can collide with it only at k = 16*W exactly, where
-                # relative order vs invalid rows is irrelevant to the
+                # them to the all-ones sentinel (real keys can collide
+                # with it only at k = 16*W exactly, where relative
+                # order vs invalid rows is irrelevant to the
                 # valid-edge tie-breaks ref_rank serves)
-                cols[0] = np.where(self.valid, cols[0],
+                if self.k <= 32:
+                    col = kmerops.ref_order_u64(self.keys, self.k)
+                    col = np.where(self.valid, col,
                                    np.uint64(0xFFFFFFFFFFFFFFFF))
-                perm = np.argsort(cols[0]) if len(cols) == 1 else \
-                    np.lexsort(tuple(reversed(cols)))
+                    perm = np.argsort(col)
+                else:
+                    ro = np.ascontiguousarray(np.asarray(
+                        kmerops.ref_order_keys(self.keys, self.k)))
+                    if not self.valid.all():
+                        ro[~self.valid] = np.uint32(0xFFFFFFFF)
+                    perm = kmerops.argsort_rows_np(ro)
             else:
                 rot = kmerops.ref_order_keys(
                     jnp.asarray(self.keys), self.k
@@ -512,13 +513,23 @@ def _nav_links(keys: np.ndarray, k: int):
     hpref = prefix[head]
     suffix = np.asarray(kmerops.mask_tail(
         np.asarray(kmerops.drop_first_base(keys, k)), k - 1))
+    rck = np.asarray(kmerops.revcomp_kmers(keys, k))
+    from ..native import row_search
+
+    nat = row_search(hpref, suffix)
+    if nat is not None:
+        pos, found = nat
+        nxt_link = np.where(
+            found, hrows[np.minimum(pos, len(hrows) - 1)], NULL
+        ).astype(np.int32)
+        rc = row_search(keys, rck)[0].astype(np.int32)
+        return run_start, nxt_link, rc
     pos = kmerops.searchsorted_blocked_np(
         _void_rows(hpref), _void_rows(suffix),
         hpref[:, 0], suffix[:, 0])
     posc = np.minimum(pos, len(hrows) - 1)
     found = (hpref[posc] == suffix).all(axis=1)
     nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
-    rck = np.asarray(kmerops.revcomp_kmers(keys, k))
     rc = kmerops.searchsorted_blocked_np(
         _void_rows(keys), _void_rows(rck), keys[:, 0], rck[:, 0]
     ).astype(np.int32)

@@ -214,6 +214,22 @@ def get_seedscan():
         ]
         lib.seed_scan_free.restype = None
         lib.seed_scan_free.argtypes = [ctypes.POINTER(_ScanResult)]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.transform_rows.restype = None
+        lib.transform_rows.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u32p, ctypes.c_int,
+        ]
+        lib.row_search.restype = None
+        lib.row_search.argtypes = [
+            u32p, ctypes.c_int64, u32p, ctypes.c_int64, ctypes.c_int,
+            i64p, u8p, ctypes.c_int,
+        ]
+        lib.argsort_rows.restype = None
+        lib.argsort_rows.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, i64p, ctypes.c_int,
+        ]
         _ss_lib = lib
     except OSError as e:
         get_logger().debug("seedscan load failed: %s", e)
@@ -281,6 +297,76 @@ def _scan_threads() -> int:
     from ..utils.threads import num_threads
 
     return max(1, min(16, num_threads()))
+
+
+OP_REVCOMP = 0
+OP_REF_ORDER = 1
+
+
+def transform_rows(keys: np.ndarray, k: int, op: int
+                   ) -> np.ndarray | None:
+    """Per-row key transform on (N, W) left-aligned 2-bit rows:
+    OP_REVCOMP = kmerops.revcomp_kmers, OP_REF_ORDER =
+    kmerops.ref_order_keys. None when native is unavailable."""
+    lib = get_seedscan()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n, w = keys.shape
+    out = np.empty_like(keys)
+    lib.transform_rows(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n), k, w, op,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _scan_threads(),
+    )
+    return out
+
+
+def argsort_rows(keys: np.ndarray) -> np.ndarray | None:
+    """Lexicographic argsort of (N, W) u32 rows, UNSTABLE between
+    equal rows; parallel for W <= 4. None when native is
+    unavailable."""
+    lib = get_seedscan()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n, w = keys.shape
+    perm = np.empty(n, np.int64)
+    lib.argsort_rows(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n), w,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _scan_threads(),
+    )
+    return perm
+
+
+def row_search(table: np.ndarray, queries: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Batched lower_bound of (Q, W) query rows in the sorted (N, W)
+    table -> (idx int64, found bool); None when native is
+    unavailable."""
+    lib = get_seedscan()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(table, dtype=np.uint32)
+    queries = np.ascontiguousarray(queries, dtype=np.uint32)
+    assert table.ndim == 2 and queries.ndim == 2
+    assert table.shape[1] == queries.shape[1]
+    nq = len(queries)
+    idx = np.empty(nq, np.int64)
+    found = np.empty(nq, np.uint8)
+    lib.row_search(
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(len(table)),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(nq), table.shape[1],
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _scan_threads(),
+    )
+    return idx, found.astype(bool)
 
 
 def chain_rank(nxt: np.ndarray, prv: np.ndarray, valid: np.ndarray):

@@ -339,3 +339,222 @@ void seed_scan_free(ScanResult* r) {
 }
 
 }  // extern "C"
+
+namespace {
+
+static inline uint32_t rev2_u32(uint32_t x) {
+  // reverse the 16 2-bit groups within a u32
+  x = ((x & 0x33333333u) << 2) | ((x & 0xCCCCCCCCu) >> 2);
+  x = ((x & 0x0F0F0F0Fu) << 4) | ((x & 0xF0F0F0F0u) >> 4);
+  return __builtin_bswap32(x);
+}
+
+// reverse the first kk bases of a left-aligned row whose bits beyond
+// kk are zero; result left-aligned with zero tail
+static inline void reverse_bases(const uint32_t* in, int W, int kk,
+                                 uint32_t* out) {
+  uint32_t tmp[16];
+  for (int i = 0; i < W; ++i) tmp[i] = rev2_u32(in[W - 1 - i]);
+  int shift_bases = 16 * W - kk;
+  int word_sh = shift_bases >> 4;
+  int bit_sh = 2 * (shift_bases & 15);
+  for (int i = 0; i < W; ++i) {
+    int src = i + word_sh;
+    uint64_t v = 0;
+    if (src < W) v = ((uint64_t)tmp[src]) << 32;
+    if (src + 1 < W) v |= tmp[src + 1];
+    out[i] = (uint32_t)((v << bit_sh) >> 32);
+  }
+}
+
+static inline void mask_row_tail(uint32_t* row, int W, int kk) {
+  // zero all bits at base positions >= kk
+  int wi = kk >> 4, used = kk & 15;
+  if (wi < W) {
+    row[wi] &= used ? (0xFFFFFFFFu << (32 - 2 * used)) : 0u;
+    for (int i = wi + 1; i < W; ++i) row[i] = 0;
+  }
+}
+
+enum TransformOp { OP_REVCOMP = 0, OP_REF_ORDER = 1 };
+
+static void transform_range(const uint32_t* keys, int64_t lo, int64_t hi,
+                            int k, int W, int op, uint32_t* out) {
+  uint32_t buf[16];
+  for (int64_t r = lo; r < hi; ++r) {
+    const uint32_t* in = keys + r * W;
+    uint32_t* o = out + r * W;
+    if (op == OP_REVCOMP) {
+      for (int i = 0; i < W; ++i) buf[i] = ~in[i];
+      mask_row_tail(buf, W, k);
+      reverse_bases(buf, W, k, o);
+    } else {  // ref_order: reverse(chars[0..k-2]) ++ chars[k-1]
+      for (int i = 0; i < W; ++i) buf[i] = in[i];
+      mask_row_tail(buf, W, k - 1);
+      reverse_bases(buf, W, k - 1, o);
+      int p = k - 1;
+      uint32_t last = (in[p >> 4] >> (30 - 2 * (p & 15))) & 3u;
+      o[p >> 4] |= last << (30 - 2 * (p & 15));
+    }
+  }
+}
+
+static void row_search_range(const uint32_t* table, int64_t n,
+                             const uint32_t* q, int64_t lo, int64_t hi,
+                             int W, int64_t* idx, uint8_t* found) {
+  for (int64_t r = lo; r < hi; ++r) {
+    const uint32_t* qq = q + r * W;
+    int64_t i = lower_bound_rows(table, n, W, qq);
+    idx[r] = i;
+    found[r] = (i < n && cmp_rows(table + i * W, qq, W) == 0) ? 1 : 0;
+  }
+}
+
+static void row_search_range_u64(const uint64_t* table, int64_t n,
+                                 const uint32_t* q, int64_t lo,
+                                 int64_t hi, int W, int64_t* idx,
+                                 uint8_t* found) {
+  for (int64_t r = lo; r < hi; ++r) {
+    uint64_t qq = head64(q + r * W, W);
+    const uint64_t* it = std::lower_bound(table, table + n, qq);
+    idx[r] = it - table;
+    found[r] = (it != table + n && *it == qq) ? 1 : 0;
+  }
+}
+
+template <typename F>
+static void par_ranges(int64_t n, int n_threads, F fn) {
+  int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (T == 1 || n < (int64_t)1 << 16) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t)
+    threads.emplace_back([&, t] { fn(n * t / T, n * (t + 1) / T); });
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// (n, W) left-aligned 2-bit rows -> per-row transform. op 0 = reverse
+// complement (kmerops.revcomp_kmers); op 1 = reference edge-id order
+// transform reverse(chars[0..k-2]) ++ chars[k-1]
+// (kmerops.ref_order_keys).
+void transform_rows(const uint32_t* keys, int64_t n, int k, int W,
+                    int op, uint32_t* out, int n_threads) {
+  par_ranges(n, n_threads, [&](int64_t lo, int64_t hi) {
+    transform_range(keys, lo, hi, k, W, op, out);
+  });
+}
+
+// Lexicographic argsort of (n, W) u32 rows (UNSTABLE between equal
+// rows, like every sort in this engine). W <= 4 rides a 24-byte
+// {a, b, idx} struct through an MSD top-byte bucket scatter + parallel
+// per-bucket std::sort; wider rows use a comparator sort over index
+// slices merged pairwise.
+void argsort_rows(const uint32_t* keys, int64_t n, int W, int64_t* perm,
+                  int n_threads) {
+  int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (W > 4) {
+    for (int64_t i = 0; i < n; ++i) perm[i] = i;
+    auto cmp = [&](int64_t x, int64_t y) {
+      return cmp_rows(keys + x * W, keys + y * W, W) < 0;
+    };
+    std::sort(perm, perm + n, cmp);
+    return;
+  }
+  struct Item {
+    uint64_t a, b;
+    int64_t idx;
+  };
+  std::vector<Item> items(n);
+  par_ranges(n, T, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint32_t* r = keys + i * W;
+      uint64_t a = (uint64_t)r[0] << 32 | (W > 1 ? r[1] : 0);
+      uint64_t b = W > 2 ? ((uint64_t)r[2] << 32 | (W > 3 ? r[3] : 0))
+                         : 0;
+      items[i] = {a, b, i};
+    }
+  });
+  auto less = [](const Item& x, const Item& y) {
+    return x.a != y.a ? x.a < y.a : x.b < y.b;
+  };
+  if (n < (int64_t)1 << 20 || T == 1) {
+    std::sort(items.begin(), items.end(), less);
+  } else {
+    const int B = 256;
+    std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(B, 0));
+    std::vector<std::thread> threads;
+    auto seg = [&](int t) { return std::pair{n * t / T, n * (t + 1) / T}; };
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t] {
+        auto [lo, hi] = seg(t);
+        for (int64_t i = lo; i < hi; ++i) ++hist[t][items[i].a >> 56];
+      });
+    for (auto& th : threads) th.join();
+    threads.clear();
+    std::vector<int64_t> bstart(B + 1, 0);
+    for (int b = 0; b < B; ++b) {
+      int64_t s = 0;
+      for (int t = 0; t < T; ++t) s += hist[t][b];
+      bstart[b + 1] = bstart[b] + s;
+    }
+    std::vector<std::vector<int64_t>> cur(T, std::vector<int64_t>(B));
+    for (int b = 0; b < B; ++b) {
+      int64_t off = bstart[b];
+      for (int t = 0; t < T; ++t) {
+        cur[t][b] = off;
+        off += hist[t][b];
+      }
+    }
+    std::vector<Item> tmp(n);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t] {
+        auto [lo, hi] = seg(t);
+        auto& c = cur[t];
+        for (int64_t i = lo; i < hi; ++i)
+          tmp[c[items[i].a >> 56]++] = items[i];
+      });
+    for (auto& th : threads) th.join();
+    threads.clear();
+    std::atomic<int> next{0};
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&] {
+        for (;;) {
+          int b = next.fetch_add(1);
+          if (b >= B) break;
+          std::sort(tmp.begin() + bstart[b], tmp.begin() + bstart[b + 1],
+                    less);
+        }
+      });
+    for (auto& th : threads) th.join();
+    items.swap(tmp);
+  }
+  par_ranges(n, T, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) perm[i] = items[i].idx;
+  });
+}
+
+// Batched lower_bound of (nq, W) query rows in the sorted (n, W)
+// table; idx = insertion points, found = exact-match flags.
+void row_search(const uint32_t* table, int64_t n, const uint32_t* q,
+                int64_t nq, int W, int64_t* idx, uint8_t* found,
+                int n_threads) {
+  if (W <= 2) {
+    std::vector<uint64_t> t64(n);
+    for (int64_t i = 0; i < n; ++i) t64[i] = head64(table + i * W, W);
+    par_ranges(nq, n_threads, [&](int64_t lo, int64_t hi) {
+      row_search_range_u64(t64.data(), n, q, lo, hi, W, idx, found);
+    });
+    return;
+  }
+  par_ranges(nq, n_threads, [&](int64_t lo, int64_t hi) {
+    row_search_range(table, n, q, lo, hi, W, idx, found);
+  });
+}
+
+}  // extern "C"
