@@ -72,7 +72,14 @@ def window_valid_range(starts: np.ndarray, k: int, lo: int, hi: int
     Invalid positions are exactly the per-read tails [end - k + 1, end)
     (whole read when shorter than k), which are disjoint ascending
     ranges - painting them is ~50x cheaper than per-position
-    searchsorted over a 10^8-position chunk."""
+    searchsorted over a 10^8-position chunk.
+
+    Precondition: hi <= starts[-1] (= total pool bases). Positions at
+    or beyond starts[-1] are outside every sequence; this painter
+    reports them VALID (unlike window_valid_mask, which reports them
+    invalid) because no read tail covers them. All callers scan pool
+    chunks clamped to n_bases, so the case is unreachable there."""
+    assert hi <= int(starts[-1]), (hi, int(starts[-1]))
     n = hi - lo
     if n <= 0:
         return np.zeros(0, dtype=bool)

@@ -23,16 +23,45 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build_so(src: str, so: str, extra: tuple[str, ...] = (),
+              what: str = "") -> bool:
+    """Compile `src` -> `so` atomically (temp file + os.replace so a
+    concurrent process never CDLLs a half-written .so). Build failures
+    are surfaced at WARNING: the Python fallbacks are 5-10x slower on
+    the hot paths (e.g. ~75 s vs ~8 s nav derivation at 25M edges)."""
+    tmp = f"{so}.tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", *extra, src, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so)
         return True
     except Exception as e:  # toolchain missing: fall back to Python
-        get_logger().debug("native build failed: %s", e)
+        get_logger().warning(
+            "native build of %s failed (%s); falling back to Python "
+            "paths that are 5-10x slower on large inputs", what or src, e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _needs_build(src: str, so: str) -> bool:
+    return not os.path.exists(so) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+
+
+def native_status() -> dict[str, bool]:
+    """Availability of each native core (for checkcpu-style reports)."""
+    return {
+        "fastxpack": get_lib() is not None,
+        "graphwalk": get_graphwalk() is not None,
+        "seedscan": get_seedscan() is not None,
+    }
 
 
 def get_lib():
@@ -41,11 +70,8 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-    ):
-        if not _build():
+    if _needs_build(_SRC, _SO):
+        if not _build_so(_SRC, _SO, what="fastxpack"):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -63,7 +89,9 @@ def get_lib():
         ]
         _lib = lib
     except OSError as e:
-        get_logger().debug("native load failed: %s", e)
+        get_logger().warning(
+            "native fastxpack load failed (%s); Python FASTA/Q parsing "
+            "is ~30x slower", e)
     return _lib
 
 
@@ -127,18 +155,8 @@ def get_graphwalk():
     if _gw_lib is not None or _gw_tried:
         return _gw_lib
     _gw_tried = True
-    if not os.path.exists(_GW_SO) or (
-        os.path.exists(_GW_SRC)
-        and os.path.getmtime(_GW_SRC) > os.path.getmtime(_GW_SO)
-    ):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _GW_SRC,
-                 "-o", _GW_SO],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception as e:
-            get_logger().debug("graphwalk build failed: %s", e)
+    if _needs_build(_GW_SRC, _GW_SO):
+        if not _build_so(_GW_SRC, _GW_SO, what="graphwalk"):
             return None
     try:
         lib = ctypes.CDLL(_GW_SO)
@@ -154,7 +172,9 @@ def get_graphwalk():
         ]
         _gw_lib = lib
     except OSError as e:
-        get_logger().debug("graphwalk load failed: %s", e)
+        get_logger().warning(
+            "native graphwalk load failed (%s); pointer-doubling "
+            "fallback is 5-10x slower at graph scale", e)
     return _gw_lib
 
 
@@ -189,18 +209,10 @@ def get_seedscan():
     if _ss_lib is not None or _ss_tried:
         return _ss_lib
     _ss_tried = True
-    if not os.path.exists(_SS_SO) or (
-        os.path.exists(_SS_SRC)
-        and os.path.getmtime(_SS_SRC) > os.path.getmtime(_SS_SO)
-    ):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-pthread", _SS_SRC, "-o", _SS_SO],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception as e:
-            get_logger().debug("seedscan build failed: %s", e)
+    if _needs_build(_SS_SRC, _SS_SO):
+        if not _build_so(_SS_SRC, _SS_SO,
+                         extra=("-std=c++17", "-pthread"),
+                         what="seedscan"):
             return None
     try:
         lib = ctypes.CDLL(_SS_SO)
@@ -232,7 +244,9 @@ def get_seedscan():
         ]
         _ss_lib = lib
     except OSError as e:
-        get_logger().debug("seedscan load failed: %s", e)
+        get_logger().warning(
+            "native seedscan load failed (%s); numpy scan/sort "
+            "fallbacks are 5-10x slower at pool scale", e)
     return _ss_lib
 
 
@@ -313,6 +327,8 @@ def transform_rows(keys: np.ndarray, k: int, op: int
         return None
     keys = np.ascontiguousarray(keys, dtype=np.uint32)
     n, w = keys.shape
+    if w > 16:  # C side uses fixed uint32_t[16] row buffers (k <= 255)
+        return None
     out = np.empty_like(keys)
     lib.transform_rows(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

@@ -242,6 +242,61 @@ def cmd_iterate(args) -> int:
     return 0
 
 
+K_MAX = 255  # largest supported k (reference src/sdbg/sdbg_def.h:21)
+
+
+def cmd_dumpversion(args) -> int:
+    """Print the package version (reference src/main.cpp:43-66
+    `dumpversion`)."""
+    from . import __version__
+
+    print(__version__)
+    return 0
+
+
+def cmd_kmax(args) -> int:
+    """Print the largest supported k (reference `kmax`)."""
+    print(K_MAX)
+    return 0
+
+
+def cmd_checkcpu(args) -> int:
+    """Print 1 if hardware acceleration is usable, else 0.
+
+    The reference's `checkcpu` probes POPCNT/BMI2 (src/main.cpp:43-66,
+    src/utils/cpu_dispatch.h); the TPU-native analogue probes (a) that
+    an accelerator jax backend initializes within a hard deadline (the
+    tunneled device can hang, so the probe runs in a subprocess) and
+    (b) that the native host cores build. Details go to stderr; the
+    1/0 verdict on stdout mirrors the reference's driver contract."""
+    import subprocess as sp
+
+    from .native import native_status
+
+    nat = native_status()
+    print(f"native cores: {nat}", file=sys.stderr)
+    probe = (
+        "import jax\n"
+        "d = jax.devices()\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "v = np.asarray(jax.jit(lambda a: a.sum())(jnp.arange(8)))\n"
+        "print(d[0].platform)\n"
+    )
+    try:
+        r = sp.run([sys.executable, "-c", probe], capture_output=True,
+                   timeout=args.deadline, text=True)
+        plat = r.stdout.strip().splitlines()[-1] if r.stdout else ""
+        ok = r.returncode == 0 and plat not in ("", "cpu")
+        print(f"accelerator probe: rc={r.returncode} "
+              f"platform={plat or '?'}", file=sys.stderr)
+    except sp.TimeoutExpired:
+        ok = False
+        print(f"accelerator probe: timed out after {args.deadline}s",
+              file=sys.stderr)
+    print(1 if ok and all(nat.values()) else 0)
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="megahit_tpu.stage_cli")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
@@ -321,6 +376,13 @@ def make_parser() -> argparse.ArgumentParser:
     it.add_argument("-s", "--step", type=int, required=True)
     it.add_argument("-o", "--output", required=True)
     it.set_defaults(fn=cmd_iterate)
+
+    sub.add_parser("dumpversion").set_defaults(fn=cmd_dumpversion)
+    sub.add_parser("kmax").set_defaults(fn=cmd_kmax)
+    cc = sub.add_parser("checkcpu")
+    cc.add_argument("--deadline", type=float, default=60.0,
+                    help="accelerator probe deadline (s)")
+    cc.set_defaults(fn=cmd_checkcpu)
     return p
 
 

@@ -111,3 +111,94 @@ def test_seed_scan_empty_table():
         packed, starts, 3, np.zeros((0, 1), np.uint32), SCAN_CANON
     )
     assert len(pos) == 0
+
+
+# ---------------------------------------------------------------------------
+# transform_rows / argsort_rows / row_search parity vs the numpy paths
+# (advisor round-3 finding: these replace verified numpy implementations
+# in correctness-critical paths but had no direct parity tests; the
+# kmerops dispatch thresholds keep unit-sized inputs on the numpy path,
+# so we call the native wrappers DIRECTLY here).
+# ---------------------------------------------------------------------------
+
+from megahit_tpu.core import kmerops
+from megahit_tpu.native import (
+    OP_REF_ORDER, OP_REVCOMP, argsort_rows, row_search, transform_rows,
+)
+
+
+def _rand_keys(rng, n, k):
+    w = kmerops.words_per_kmer(k)
+    keys = rng.integers(0, 1 << 32, (n, w), dtype=np.uint64).astype(
+        np.uint32)
+    return np.asarray(kmerops.mask_tail(keys, k)), w
+
+
+def _numpy_transform(keys, k, op):
+    # force the pure-numpy kmerops path by chunking below the 2^14
+    # native-dispatch threshold
+    fn = (kmerops.revcomp_kmers if op == OP_REVCOMP
+          else kmerops.ref_order_keys)
+    chunks = [fn(keys[i:i + 8192], k)
+              for i in range(0, len(keys), 8192)]
+    return np.concatenate(chunks) if chunks else keys
+
+
+@pytest.mark.parametrize("k", [3, 16, 31, 32, 33, 64, 77, 141])
+def test_transform_rows_parity(k):
+    rng = np.random.default_rng(k)
+    keys, w = _rand_keys(rng, 3000, k)
+    for op in (OP_REVCOMP, OP_REF_ORDER):
+        if op == OP_REF_ORDER and k < 2:
+            continue
+        out = transform_rows(keys, k, op)
+        assert out is not None
+        np.testing.assert_array_equal(out, _numpy_transform(keys, k, op))
+
+
+def test_transform_rows_wide_guard():
+    # W > 16 (k > 256) must fall back (fixed row buffers in C)
+    keys = np.zeros((4, 17), np.uint32)
+    assert transform_rows(keys, 17 * 16, OP_REVCOMP) is None
+
+
+@pytest.mark.parametrize(
+    "n,w", [(100, 1), (5000, 2), (3000, 4), (2000, 5), (2000, 9),
+            ((1 << 20) + 17, 2)]  # > 2^20: the parallel MSD branch
+)
+def test_argsort_rows_parity(n, w):
+    rng = np.random.default_rng(n + w)
+    # low-entropy values so duplicate keys occur
+    keys = (rng.integers(0, 7, (n, w), dtype=np.uint64)
+            .astype(np.uint32))
+    keys[:, 0] = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(
+        np.uint32)  # spread across all 256 MSD bins
+    perm = argsort_rows(keys)
+    assert perm is not None
+    assert np.array_equal(np.sort(perm), np.arange(n))
+    got = keys[perm]
+    want = keys[np.lexsort(tuple(keys[:, i]
+                                 for i in range(w - 1, -1, -1)))]
+    np.testing.assert_array_equal(got, want)  # unstable: compare rows
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 6])
+def test_row_search_parity(w):
+    rng = np.random.default_rng(w)
+    n, q = 4000, 2500
+    table = np.unique(
+        rng.integers(0, 50, (n, w), dtype=np.uint64).astype(np.uint32),
+        axis=0)
+    queries = rng.integers(0, 60, (q, w), dtype=np.uint64).astype(
+        np.uint32)
+    queries[: q // 3] = table[
+        rng.integers(0, len(table), q // 3)]  # guaranteed hits
+    out = row_search(table, queries)
+    assert out is not None
+    idx, found = out
+    tv = [tuple(r) for r in table]
+    for j in range(q):
+        qt = tuple(queries[j])
+        wanted = bisect.bisect_left(tv, qt)
+        assert idx[j] == wanted, j
+        assert found[j] == (wanted < len(tv) and tv[wanted] == qt), j

@@ -100,3 +100,12 @@ def test_read2sdbg_matches_two_pass(tmp_path):
         ma, mb = a.mult[a.valid], b.mult[b.valid]
         assert ka.shape == kb.shape and (ka == kb).all(), mercy
         assert (ma == mb).all(), mercy
+
+
+def test_introspection_subcommands(capsys):
+    from megahit_tpu import __version__, stage_cli
+
+    assert stage_cli.main(["dumpversion"]) == 0
+    assert capsys.readouterr().out.strip() == __version__
+    assert stage_cli.main(["kmax"]) == 0
+    assert capsys.readouterr().out.strip() == "255"

@@ -81,8 +81,30 @@ def test_windowed_bucketed_build_bounds_rss(tmp_path):
     # both-strand multiset = ~24M rows x 12 B = ~280 MB, on disk only
     multiset_bytes = 2 * (n_seqs * (length - k1 + 1)) * 12
     budget_rows = 1 << 20  # 12 MB rounds
+
+    # warm-up mini-build through the same code paths: the jax runtime +
+    # XLA:CPU jit executables alone cost O(100 MB) of RSS on first use,
+    # which would otherwise be charged to `grow` when this test runs in
+    # isolation (in-suite, earlier tests pre-pay it)
+    wflat = RNG.integers(0, 4, 50 * length).astype(np.uint8)
+    wstarts = np.arange(51, dtype=np.int64) * length
+    wlib = SequenceLib(wflat, wstarts, [(0, 50, False)])
+    wpath = str(tmp_path / "warm.npz")
+    wlib.save(wpath)
+    wwin = SequenceLib.load(wpath, mode="window")
+    build_sdbg_bucketed(
+        [PoolSource(wwin.pool, wwin.starts, np.ones(50, np.int32))],
+        k1, budget_rows, str(tmp_path / "wspill"),
+        stats=BuildStats(), mult_mode="count", min_count=2,
+        batch_windows=1 << 20,
+    )
+    del wlib, wwin, wflat
+
+    import tracemalloc
+
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     stats = BuildStats()
+    tracemalloc.start()
     sdbg = build_sdbg_bucketed(
         [PoolSource(win.pool, win.starts,
                     np.ones(n_seqs, np.int32))],
@@ -90,14 +112,22 @@ def test_windowed_bucketed_build_bounds_rss(tmp_path):
         stats=stats, mult_mode="count", min_count=2,
         batch_windows=1 << 20,
     )
+    _, traced_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     assert stats.total_spilled_rows * 12 >= multiset_bytes * 0.95
     assert stats.max_round_rows <= budget_rows
-    grow = rss1 - rss0
     # random 22-mers at 1x coverage are almost all below min_count=2,
     # so the final graph is tiny; what must NOT be resident is the
-    # multiset (~280 MB) or the unpacked pool (12 MB)
-    assert grow < multiset_bytes * 0.5, (grow, multiset_bytes)
+    # multiset (~280 MB) or the unpacked pool (12 MB). The strict
+    # bound is the traced numpy high-water (per-batch transients are
+    # O(batch_windows), not O(multiset)); RSS is only a lenient
+    # backstop because allocator arenas + the jax runtime make
+    # ru_maxrss deltas noisy across environments.
+    assert traced_peak < multiset_bytes * 0.55, (
+        traced_peak, multiset_bytes)
+    grow = rss1 - rss0
+    assert grow < multiset_bytes, (grow, multiset_bytes)
     assert sdbg.num_valid() < 1_000_000
 
 
