@@ -288,12 +288,17 @@ def sharded_count_kmers(
     min_count: int,
     mesh: Mesh,
     axis: str = "shard",
-) -> tuple[np.ndarray, np.ndarray]:
+    return_rare: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Multi-chip canonical k-mer count; host-side wrapper.
 
     Same contract as graph.counter.count_canonical_kmers but distributed
     over `mesh`. Result keys are globally deduplicated (hash ownership)
-    and sorted on host after the gather.
+    and sorted on host after the gather. With return_rare=True, also
+    returns the sorted NON-solid distinct keys (count < min_count) -
+    the mercy candidate-read filter basis, same as the single-device
+    counter's return_rare (mercy would otherwise full-scan the pool on
+    mesh runs).
     """
     from ..graph.counter import as_pool, window_positions
 
@@ -302,7 +307,9 @@ def sharded_count_kmers(
     n = len(positions)
     w = kmerops.words_per_kmer(k1)
     if n == 0:
-        return np.zeros((0, w), np.uint32), np.zeros(0, np.int32)
+        empty = (np.zeros((0, w), np.uint32), np.zeros(0, np.int32))
+        return empty + (np.zeros((0, w), np.uint32),) if return_rare \
+            else empty
 
     # pad position count to a multiple of n_dev
     npad = -(-n // n_dev) * n_dev
@@ -339,4 +346,8 @@ def sharded_count_kmers(
 
     out_counts = np.minimum(counts[keep], KMAX_MUL).astype(np.int32)
     order = np.lexsort(tuple(out_keys[:, i] for i in range(w - 1, -1, -1)))
-    return out_keys[order], out_counts[order]
+    if not return_rare:
+        return out_keys[order], out_counts[order]
+    rare = skeys[head & (counts < min_count)]
+    rorder = np.lexsort(tuple(rare[:, i] for i in range(w - 1, -1, -1)))
+    return out_keys[order], out_counts[order], rare[rorder]

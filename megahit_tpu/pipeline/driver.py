@@ -205,8 +205,9 @@ class Pipeline:
             self.log.info(
                 "mesh counting over %d devices", jax.device_count()
             )
-            keys, counts = sharded_count_kmers(
-                lib.pool, lib.starts, k1, o.min_count, mesh
+            keys, counts, rare = sharded_count_kmers(
+                lib.pool, lib.starts, k1, o.min_count, mesh,
+                return_rare=True,
             )
         else:
             keys, counts, rare = count_canonical_kmers(
@@ -217,8 +218,7 @@ class Pipeline:
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
         if not o.no_mercy:
             mercy = find_mercy_edges(
-                lib.pool, lib.starts, keys, k1,
-                rare_keys=None if o.use_mesh else rare,
+                lib.pool, lib.starts, keys, k1, rare_keys=rare,
             )
             if len(mercy):
                 keys = np.concatenate([keys, mercy], axis=0)

@@ -317,3 +317,66 @@ def test_error_rich_byte_identical_t1(ref_megahit, tmp_path):
     with open(os.path.join(our_out, "final.contigs.fa")) as f:
         our_bytes = f.read()
     assert ref_bytes == our_bytes
+
+
+@pytest.mark.parametrize("k", [201, 255])
+def test_large_k_byte_identical_t1(ref_megahit, tmp_path, k):
+    """Single-k parity at the multi-word widths the default ladder
+    never reaches (k=201 -> W=13 node words, k=255 -> W=16; reference
+    kMaxK=255, sdbg_def.h:21, exercised by its simple_test single-k-255
+    scenario, CMakeLists.txt:104-116). Reads are long (400 bp) so
+    (k+1)-windows exist; byte-identical finals at -t 1."""
+    rng = np.random.default_rng(255_000 + k)
+    genome = rng.integers(0, 4, size=8000).astype(np.uint8)
+    rl = 400
+    p = str(tmp_path / "reads.fa")
+    with open(p, "w") as fh:
+        for i, s in enumerate(range(0, len(genome) - rl, 7)):
+            frag = genome[s: s + rl]
+            if i % 3 == 0:
+                frag = packing.revcomp_codes(frag)
+            fh.write(f">r{i}\n{packing.decode(frag)}\n")
+    args = ["-r", p, "--k-list", str(k), "--min-count", "2"]
+    ref_out = str(tmp_path / "ref_out")
+    subprocess.run(
+        ["python", ref_megahit] + args + ["-o", ref_out, "-t", "1"],
+        check=True, capture_output=True,
+    )
+    from megahit_tpu.__main__ import main
+
+    our_out = str(tmp_path / "our_out")
+    assert main(args + ["-o", our_out]) == 0
+    with open(os.path.join(ref_out, "final.contigs.fa")) as f:
+        ref_bytes = f.read()
+    with open(os.path.join(our_out, "final.contigs.fa")) as f:
+        our_bytes = f.read()
+    assert ref_bytes != ""
+    assert ref_bytes == our_bytes
+
+
+def test_random255_simple_test_scenario(ref_megahit, tmp_path):
+    """The reference simple_test's own single-k-255 case: 1000 random
+    300 bp reads, --k-list 255 --min-count 1 (CMakeLists.txt:110).
+    Both assemblers must complete and agree (the random input yields
+    no contigs >= the standalone threshold)."""
+    rng = np.random.default_rng(10086)
+    p = str(tmp_path / "random.fa")
+    with open(p, "w") as fh:
+        for i in range(1000):
+            fh.write(f">{i + 1}\n"
+                     f"{packing.decode(rng.integers(0, 4, 300))}\n")
+    args = ["-r", p, "--k-list", "255", "--min-count", "1"]
+    ref_out = str(tmp_path / "ref_out")
+    subprocess.run(
+        ["python", ref_megahit] + args + ["-o", ref_out, "-t", "1"],
+        check=True, capture_output=True,
+    )
+    from megahit_tpu.__main__ import main
+
+    our_out = str(tmp_path / "our_out")
+    assert main(args + ["-o", our_out]) == 0
+    with open(os.path.join(ref_out, "final.contigs.fa")) as f:
+        ref_bytes = f.read()
+    with open(os.path.join(our_out, "final.contigs.fa")) as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes

@@ -44,6 +44,26 @@ def test_sharded_count_min_count_filter():
     np.testing.assert_array_equal(counts, ref_counts)
 
 
+def test_sharded_count_return_rare_matches_single_device():
+    """Mesh rare keys (mercy candidate-filter basis) == single-device
+    counter's, sorted (VERDICT r3 item 7: mesh mercy fast path)."""
+    reads = _random_reads(20, 70)
+    reads = reads + [reads[1].copy() for _ in range(2)]
+    flat, starts = packing.pack_many(reads)
+    k1 = 22
+    ref_keys, ref_counts, ref_rare = counter.count_canonical_kmers(
+        flat, starts, k1, min_count=2, return_rare=True
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    keys, counts, rare = sharded_count_kmers(
+        flat, starts, k1, 2, mesh, return_rare=True
+    )
+    np.testing.assert_array_equal(keys, ref_keys)
+    np.testing.assert_array_equal(counts, ref_counts)
+    assert len(rare) > 0
+    np.testing.assert_array_equal(rare, ref_rare)
+
+
 def test_graft_entry():
     import sys
 
