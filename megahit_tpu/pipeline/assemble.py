@@ -49,6 +49,60 @@ class AssembleResult:
     stats: dict
 
 
+class _HostEngine:
+    """graph/cleaning.py behind the engine interface shared with the
+    device-resident cleaner (graph/assemble_device.DeviceCleaner)."""
+
+    def __init__(self, g):
+        self.g = g
+
+    def remove_tips(self, max_tip_len):
+        self.g, n = cleaning.remove_tips(self.g, max_tip_len)
+        return n
+
+    def pop_bubbles(self, max_len, permanent, similarity=None,
+                    careful_threshold=None, bubble_records=None):
+        self.g, n = cleaning.pop_bubbles(
+            self.g, max_len, permanent, similarity=similarity,
+            careful_threshold=careful_threshold,
+            bubble_records=bubble_records)
+        return n
+
+    def pop_complex_bubbles(self, merge_level, similarity, permanent,
+                            careful_threshold=None,
+                            bubble_records=None):
+        self.g, n = cleaning.pop_complex_bubbles(
+            self.g, merge_level, similarity, permanent,
+            careful_threshold=careful_threshold,
+            bubble_records=bubble_records)
+        return n
+
+    def disconnect_weak_links(self, ratio):
+        self.g, n = cleaning.disconnect_weak_links(self.g, ratio)
+        return n
+
+    def remove_local_low_depth(self, min_depth, max_len, local_width,
+                               local_ratio, permanent):
+        self.g, n, changed = cleaning.remove_local_low_depth(
+            self.g, min_depth, max_len, local_width, local_ratio,
+            permanent)
+        return n, changed
+
+    def iterate_local_low_depth(self, min_depth, min_len, local_width,
+                                local_ratio, permanent):
+        self.g, n = cleaning.iterate_local_low_depth(
+            self.g, min_depth, min_len, local_width, local_ratio,
+            permanent)
+        return n
+
+    def remove_low_depth(self, min_depth):
+        self.g, n = cleaning.remove_low_depth(self.g, min_depth)
+        return n
+
+    def to_host(self):
+        return self.g
+
+
 def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
     log = get_logger()
     # thresholds use the megahit-level k (node length); sdbg.k is the
@@ -67,50 +121,59 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
     g = build_unitig_graph(sdbg)
     log.info("unitig graph size: %d", g.size)
 
+    from ..graph.assemble_device import DeviceCleaner, use_device_cleaning
+
+    if use_device_cleaning() and g.size:
+        eng = DeviceCleaner(g)
+        log.info("cleaning on device (%s backend)",
+                 __import__("jax").default_backend())
+    else:
+        eng = _HostEngine(g)
+
     careful = 0.2 if opt.careful_bubble else None
     bubble_records: list[tuple[str, float]] = []
 
     for rnd in range(1, opt.cleaning_rounds + 1):
         changed = False
         if rnd > 1:
-            g, n_tips = cleaning.remove_tips(g, max_tip_len)
+            n_tips = eng.remove_tips(max_tip_len)
             changed |= n_tips > 0
             log.info("tips removed: %d", n_tips)
         if opt.bubble_level >= 1:
-            g, n = cleaning.pop_bubbles(
-                g, k + 2, permanent=True,
+            n = eng.pop_bubbles(
+                k + 2, permanent=True,
                 careful_threshold=careful, bubble_records=bubble_records,
             )
             changed |= n > 0
             log.info("bubbles removed: %d", n)
         if opt.bubble_level >= 2:
-            g, n = cleaning.pop_complex_bubbles(
-                g, opt.merge_len, opt.merge_similar, permanent=True,
+            n = eng.pop_complex_bubbles(
+                opt.merge_len, opt.merge_similar, permanent=True,
                 careful_threshold=careful, bubble_records=bubble_records,
             )
             changed |= n > 0
             log.info("complex bubbles removed: %d", n)
-        g, n_disc = cleaning.disconnect_weak_links(g, opt.disconnect_ratio)
+        n_disc = eng.disconnect_weak_links(opt.disconnect_ratio)
         changed |= n_disc > 0
         log.info("unitigs disconnected: %d", n_disc)
 
         if opt.prune_level >= 3:
-            g, n1 = cleaning.remove_low_depth(g, min_depth)
-            g, n2 = cleaning.pop_bubbles(
-                g, k + 2, permanent=True,
+            n1 = eng.remove_low_depth(min_depth)
+            n2 = eng.pop_bubbles(
+                k + 2, permanent=True,
                 careful_threshold=careful, bubble_records=bubble_records,
             )
             n3 = 0
             if opt.bubble_level >= 2 and opt.merge_len > 0:
-                g, n3 = cleaning.pop_complex_bubbles(
-                    g, opt.merge_len, opt.merge_similar, permanent=True,
+                n3 = eng.pop_complex_bubbles(
+                    opt.merge_len, opt.merge_similar, permanent=True,
                     careful_threshold=careful,
                     bubble_records=bubble_records,
                 )
             log.info("excessive pruning removed: %d", n1 + n2 + n3)
         elif opt.prune_level >= 2:
-            g, n, _ = cleaning.remove_local_low_depth(
-                g, min_depth, max_tip_len, opt.local_width,
+            n, _ = eng.remove_local_low_depth(
+                min_depth, max_tip_len, opt.local_width,
                 min(opt.low_local_ratio, 0.1), permanent=True,
             )
             log.info("excessive pruning removed: %d", n)
@@ -123,29 +186,31 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
 
     if not (opt.is_final_round and opt.prune_level >= 1):
         contigs, finals = output_contigs(
-            g, change_only=False, min_standalone=opt.min_standalone,
+            eng.to_host(), change_only=False,
+            min_standalone=opt.min_standalone,
             want_final=opt.output_standalone,
         )
 
     if opt.prune_level >= 1:
-        g, n_removed = cleaning.iterate_local_low_depth(
-            g, min_depth, max_tip_len, opt.local_width,
+        n_removed = eng.iterate_local_low_depth(
+            min_depth, max_tip_len, opt.local_width,
             opt.low_local_ratio, permanent=opt.is_final_round,
         )
         n_bub = 0
         if opt.bubble_level >= 2 and opt.merge_len > 0:
-            g, n_bub = cleaning.pop_complex_bubbles(
-                g, opt.merge_len, opt.merge_similar, permanent=False
+            n_bub = eng.pop_complex_bubbles(
+                opt.merge_len, opt.merge_similar, permanent=False
             )
         log.info(
             "local low depth removed: %d, complex bubbles: %d",
             n_removed, n_bub,
         )
         if not opt.is_final_round:
-            addi, _ = output_contigs(g, change_only=True)
+            addi, _ = output_contigs(eng.to_host(), change_only=True)
         else:
             contigs, finals = output_contigs(
-                g, change_only=False, min_standalone=opt.min_standalone,
+                eng.to_host(), change_only=False,
+                min_standalone=opt.min_standalone,
                 want_final=opt.output_standalone,
             )
 
