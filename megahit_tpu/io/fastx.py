@@ -25,12 +25,74 @@ class FastxRecord:
     seq: bytes  # raw ASCII
 
 
+class _SubprocStream(io.RawIOBase):
+    """stdout of a decompressor subprocess as a readable stream.
+
+    The reference feeds gz/bz2 through `gzip -cd`/`bzip2 -cd`
+    subprocesses into FIFOs (src/megahit:700-745) so decompression
+    runs on its own core, overlapped with downstream parse+pack; this
+    is the same pipeline parallelism without the filesystem FIFO. A
+    feeder failure aborts the read (reference :733-737)."""
+
+    def __init__(self, argv: list[str]):
+        import subprocess
+
+        self.argv = argv
+        self.proc = subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            bufsize=0,
+        )
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = self.proc.stdout.readinto(b)
+        if n == 0:  # EOF: verify the feeder exited cleanly
+            rc = self.proc.wait()
+            if rc != 0:
+                err = self.proc.stderr.read().decode(errors="replace")
+                raise IOError(
+                    f"{' '.join(self.argv)} failed (rc={rc}): {err}")
+        return n
+
+    def close(self) -> None:
+        if not self.closed:
+            if self.proc.poll() is None:
+                self.proc.terminate()
+                self.proc.wait()
+            self.proc.stdout.close()
+            self.proc.stderr.close()
+        super().close()
+
+
+def _popen_decompressor(tool: str, path: str):
+    import shutil
+
+    if shutil.which(tool) is None:
+        return None
+    try:
+        return io.BufferedReader(
+            _SubprocStream([tool, "-dc", path]), 1 << 20)
+    except OSError:
+        return None
+
+
 def _open(path: str):
     with open(path, "rb") as probe:
         magic = probe.read(3)
     if magic[:2] == b"\x1f\x8b":
+        # prefer a parallel-capable inflater when present
+        for tool in ("pigz", "gzip"):
+            fh = _popen_decompressor(tool, path)
+            if fh is not None:
+                return fh
         return gzip.open(path, "rb")
     if magic == b"BZh":
+        for tool in ("pbzip2", "lbzip2", "bzip2"):
+            fh = _popen_decompressor(tool, path)
+            if fh is not None:
+                return fh
         return bz2.open(path, "rb")
     return open(path, "rb")
 
@@ -108,6 +170,8 @@ def read_fastx_flat(
 
     with _open(path) as fh:
         data = fh.read()
+        if isinstance(data, memoryview):
+            data = bytes(data)
     out = native.parse_fastx_buffer_flat(data, trim_n=do_trim_n)
     if out is not None:
         return out

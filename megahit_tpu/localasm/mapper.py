@@ -252,12 +252,31 @@ def map_reads(
     rid, cid, mstrand, diag = (
         x[first] for x in (rid, cid, mstrand, diag)
     )
-    # pass 2: full dedup via 2 packed u64 sort keys
+    # pass 2: full dedup via 2 packed u64 sort keys (native parallel
+    # MSD row sort when available; equal keys are dropped as
+    # duplicates, so unstable order is fine)
     ka = (rid.astype(np.uint64) << np.uint64(1)) \
         | (mstrand & 1).astype(np.uint64)
     kb = (cid.astype(np.uint64) << np.uint64(32)) \
         | (diag.astype(np.int64) + (1 << 31)).astype(np.uint64)
-    order = np.lexsort((kb, ka))
+    from ..native import argsort_rows as _native_argsort_rows
+
+    # any total order groups identical keys (all the dedup needs), so
+    # lead with a multiplicative hash of the key to give the MSD pass
+    # a uniform top byte; words 1-3 carry the full original key (ka <
+    # 2^32: rid<<1|strand), so equal rows <=> equal candidates exactly
+    ka32 = (ka & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    kbh = (kb >> np.uint64(32)).astype(np.uint32)
+    kbl = (kb & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    rows4 = np.empty((len(ka), 4), np.uint32)
+    rows4[:, 0] = (ka32 * np.uint32(2654435761)) ^ (
+        kbl * np.uint32(0x9E3779B9))
+    rows4[:, 1] = ka32
+    rows4[:, 2] = kbh
+    rows4[:, 3] = kbl
+    order = _native_argsort_rows(rows4)
+    if order is None:
+        order = np.lexsort((kb, ka))
     kas, kbs = ka[order], kb[order]
     keep = np.ones(len(order), dtype=bool)
     keep[1:] = (kas[1:] != kas[:-1]) | (kbs[1:] != kbs[:-1])

@@ -101,6 +101,53 @@ def _bisect3(t_g: np.ndarray, t_hi: np.ndarray, t_lo: np.ndarray,
     return np.where(found, idx, -1)
 
 
+def _words_to_hilo(words: np.ndarray, k: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(N, W) left-aligned 2-bit kmerops words -> the same right-
+    aligned (hi, lo) u64 pair _codes_to_hilo produces. k <= 64 (the
+    whole mini-assembly keying is 128-bit; the IDBA ladder tops out at
+    41)."""
+    assert k <= 64, k
+    wn = words.shape[1]
+
+    def col(i):
+        return words[:, i].astype(_U64) if i < wn else \
+            np.zeros(len(words), _U64)
+
+    a = (col(0) << _U64(32)) | col(1)
+    if k <= 32:
+        sh = 64 - 2 * k
+        lo = a >> _U64(sh) if sh else a
+        return np.zeros(len(words), _U64), lo
+    b = (col(2) << _U64(32)) | col(3)
+    s = 128 - 2 * k
+    if s == 0:
+        return a, b
+    hi = a >> _U64(s)
+    lo = (b >> _U64(s)) | (a << _U64(64 - s))
+    return hi, lo
+
+
+def _argsort_g_hilo(gid: np.ndarray, hi: np.ndarray, lo: np.ndarray,
+                    k: int) -> np.ndarray:
+    """argsort by (gid, hi, lo). Equal full keys are aggregation
+    groups (bits OR'd, counts summed), so an unstable sort is fine -
+    the native parallel MSD row sort applies when the key packs into
+    4 u32 words (k <= 48: hi < 2^32)."""
+    if k <= 48 and gid.max(initial=0) < (1 << 32):
+        from ..native import argsort_rows
+
+        rows = np.empty((len(gid), 4), np.uint32)
+        rows[:, 0] = gid
+        rows[:, 1] = hi
+        rows[:, 2] = lo >> _U64(32)
+        rows[:, 3] = lo & _U64(0xFFFFFFFF)
+        perm = argsort_rows(rows)
+        if perm is not None:
+            return perm
+    return np.lexsort((lo, hi, gid))
+
+
 class _VertexTable:
     """Sorted (group, canonical k-mer) vertex rows with per-strand
     adjacency bitsets and occurrence counts (the batched HashGraph)."""
@@ -119,10 +166,53 @@ class _VertexTable:
         self.key_g = gid.astype(_U64)
         self.key_hi = c_hi
         self.key_lo = c_lo
+        self._nbr_cache = None
 
     @property
     def size(self) -> int:
         return len(self.gid)
+
+    def neighbor_cache(self):
+        """(nbr_g (V,2,4) int64 global target row or -1, nbr_t (V,2,4)
+        int8 target strand) for every out-edge bit in the ORIGINAL
+        bitsets. The key table is immutable, so this resolves each
+        (vertex, strand, base) lookup ONCE per k-round instead of once
+        per _contract call (~10 contracts/round); _remove_bubble only
+        ever clears or re-adds original bits, never adds new ones, so
+        the cache stays a superset of any later bitset state."""
+        if self._nbr_cache is not None:
+            return self._nbr_cache
+        k = self.k
+        v = self.size
+        nbr_g = np.full((v, 2, 4), -1, np.int32)
+        nbr_t = np.zeros((v, 2, 4), np.int8)
+        fwd = self.vk
+        rcm = (3 - fwd[:, ::-1]).astype(np.uint8)
+        raw = np.stack([self.out0, self.out1], axis=1)
+        gq = self.gid.astype(_U64)
+        for s in (0, 1):
+            om = fwd if s == 0 else rcm
+            tail = om[:, 1:]
+            for b in range(4):
+                has = ((raw[:, s] >> b) & 1).astype(bool)
+                if not has.any():
+                    continue
+                sh = np.concatenate(
+                    [tail[has], np.full((has.sum(), 1), b, np.uint8)],
+                    axis=1)
+                f_hi, f_lo = _codes_to_hilo(sh, k)
+                rsh = (3 - sh[:, ::-1]).astype(np.uint8)
+                r_hi, r_lo = _codes_to_hilo(rsh, k)
+                is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+                q_hi = np.where(is_f, f_hi, r_hi)
+                q_lo = np.where(is_f, f_lo, r_lo)
+                gi = _bisect3(self.key_g, self.key_hi, self.key_lo,
+                              gq[has], q_hi, q_lo)
+                rows = np.flatnonzero(has)
+                nbr_g[rows, s, b] = gi.astype(np.int32)
+                nbr_t[rows, s, b] = np.where(is_f, 0, 1)
+        self._nbr_cache = (nbr_g, nbr_t)
+        return self._nbr_cache
 
 
 def _build_vertices(seqs: list[np.ndarray], gids: list[int],
@@ -146,20 +236,30 @@ def _build_vertices(seqs: list[np.ndarray], gids: list[int],
     off = np.arange(len(sid)) - np.repeat(
         np.concatenate([[0], np.cumsum(nwin)])[:-1], nwin)
     base = starts[sid] + off
-    cm = flat[base[:, None] + np.arange(k)[None, :]]          # (N, k)
     has_prev = off > 0
     has_next = off + k < lens[sid]
     prev_b = np.where(has_prev, flat[np.maximum(base - 1, 0)], 0)
     next_b = np.where(has_next,
                       flat[np.minimum(base + k, len(flat) - 1)], 0)
 
-    f_hi, f_lo = _codes_to_hilo(cm, k)
-    rcm = (3 - cm[:, ::-1]).astype(np.uint8)
-    r_hi, r_lo = _codes_to_hilo(rcm, k)
-    is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-    c_hi = np.where(is_f, f_hi, r_hi)
-    c_lo = np.where(is_f, f_lo, r_lo)
-    canon_cm = np.where(is_f[:, None], cm, rcm)
+    # packed-word extraction + canonicalization (O(N*W) funnel-shift
+    # gathers instead of the old O(N*k) byte matrix)
+    from ..core import kmerops
+    from ..graph.counter import pack_flat
+
+    w = kmerops.words_per_kmer(k)
+    packed = np.concatenate([pack_flat(flat), np.zeros(w + 1, np.uint32)])
+    # pow2-pad the gather so jitted kernels see one shape per size
+    # bucket (N is data-dependent per slab/k-rung)
+    n_win = len(base)
+    cap = max(16, 1 << int(np.ceil(np.log2(n_win))))
+    base_p = np.zeros(cap, np.int64)
+    base_p[:n_win] = base
+    keys = np.asarray(kmerops.extract_kmers(packed, base_p, k))
+    canon, is_rc = kmerops.canonical_kmers(keys, k)
+    canon = np.asarray(canon)[:n_win]
+    is_f = ~np.asarray(is_rc)[:n_win]  # tie (palindrome) -> forward
+    c_hi, c_lo = _words_to_hilo(canon, k)
 
     nb_bit = np.where(has_next, (1 << next_b).astype(np.uint8), 0)
     pb_bit = np.where(has_prev, (1 << (3 - prev_b)).astype(np.uint8), 0)
@@ -168,9 +268,9 @@ def _build_vertices(seqs: list[np.ndarray], gids: list[int],
 
     gid_w = g_of[sid]
     kd_w = kd_of[sid]
-    order = np.lexsort((c_lo, c_hi, gid_w))
+    order = _argsort_g_hilo(gid_w, c_hi, c_lo, k)
     gid_w, c_hi, c_lo = gid_w[order], c_hi[order], c_lo[order]
-    canon_cm, bits0, bits1 = canon_cm[order], bits0[order], bits1[order]
+    canon, bits0, bits1 = canon[order], bits0[order], bits1[order]
     kd_w = kd_w[order]
 
     head = np.ones(len(gid_w), dtype=bool)
@@ -183,8 +283,13 @@ def _build_vertices(seqs: list[np.ndarray], gids: list[int],
     out1 = np.bitwise_or.reduceat(bits1, hidx)
     cnt = np.bincount(seg, weights=(kd_w <= 1), minlength=v)
     rcnt = np.bincount(seg, weights=(kd_w == 0), minlength=v)
+    # base codes only for the V distinct vertices (vectorized unpack)
+    hk = canon[hidx]
+    pos = np.arange(k)
+    vk = ((hk[:, pos // 16] >> (30 - 2 * (pos % 16)).astype(np.uint32))
+          & 3).astype(np.uint8)
     return _VertexTable(
-        k, gid_w[hidx], canon_cm[hidx],
+        k, gid_w[hidx], vk,
         cnt.astype(np.int64), rcnt.astype(np.int64), out0, out1,
     )
 
@@ -198,13 +303,22 @@ def _thresholds(tbl: _VertexTable, local_ranges: dict[int, int],
     num_vertices) underflows size_t in the reference and yields 0."""
     thr = np.zeros(n_groups)
     has = tbl.rcnt > 0
-    for g in np.unique(tbl.gid[has]):
-        cnts = np.sort(tbl.rcnt[has & (tbl.gid == g)])
-        n = len(cnts)
-        lr = local_ranges[int(g)]
-        if n == 0 or lr > n:
+    gidh = tbl.gid[has]
+    cnts = tbl.rcnt[has]
+    order = np.lexsort((cnts, gidh))  # one sort for all groups
+    gs, cs = gidh[order], cnts[order]
+    if len(gs) == 0:
+        return thr
+    bounds = np.flatnonzero(
+        np.concatenate([[True], gs[1:] != gs[:-1]]))
+    ends = np.concatenate([bounds[1:], [len(gs)]])
+    for s, e in zip(bounds, ends):
+        g = int(gs[s])
+        n = e - s
+        lr = local_ranges[g]
+        if lr > n:
             continue
-        thr[int(g)] = cnts[int(n * (1.0 - lr / n))]
+        thr[g] = cs[s + int(n * (1.0 - lr / n))]
     return thr
 
 
@@ -288,134 +402,118 @@ def _contract(tbl: _VertexTable) -> _Contigs:
     """Unique-link chain contraction over live vertices with pruned
     adjacency (contig_graph.cpp:53-83 RefreshEdges + 225-283 Assemble).
     Cyclic chains and folded (self-revisiting) chains are discarded and
-    their vertices die (IsLoop / LockPreempt-failure semantics)."""
-    k = tbl.k
-    av = np.flatnonzero(tbl.alive)
-    nv = len(av)
-    if nv == 0:
+    their vertices die (IsLoop / LockPreempt-failure semantics).
+
+    Works in GLOBAL adaptor space (a = 2*row + strand over the whole
+    table): dead vertices simply contribute no candidates and their
+    singleton pseudo-chains are filtered at the keep step, so no
+    per-contract compaction (av/inv) is ever built."""
+    v_all = tbl.size
+    if v_all == 0 or not tbl.alive.any():
         z = np.zeros(0, np.int64)
         return _Contigs(tbl, z, z, z, z, np.zeros(1, np.int64),
                         np.full(0, -1, np.int64),
                         np.full((0, 2, 4), -1, np.int64),
                         np.full((0, 2, 4), -1, np.int8),
                         np.zeros((0, 2), np.uint8))
-    inv = np.full(tbl.size, -1, np.int64)
-    inv[av] = np.arange(nv)
-    fwd = tbl.vk[av]
-    rcm = (3 - fwd[:, ::-1]).astype(np.uint8)
-    raw = np.stack([tbl.out0[av], tbl.out1[av]], axis=1)  # (nv, 2)
+    na = 2 * v_all
+    # (A, 4) candidate slots: cached views, zero per-contract gathers
+    cache_g, cache_t = tbl.neighbor_cache()
+    slot_tgt = cache_g.reshape(na, 4)
+    slot_t = cache_t.reshape(na, 4)
+    bits_a = np.stack([tbl.out0, tbl.out1], axis=1).reshape(na)
+    bcol = np.arange(4, dtype=np.uint8)
+    alive = tbl.alive
+    ok = (((bits_a[:, None] >> bcol) & 1) != 0) \
+        & (slot_tgt >= 0) & alive[np.maximum(slot_tgt, 0)] \
+        & np.repeat(alive, 2)[:, None]           # (A, 4)
+    pop_a = ok.sum(1, dtype=np.int8)             # (A,)
+    okbits = ((ok << bcol).sum(1)).astype(np.uint8)
 
-    nbr_v = np.full((nv, 2, 4), -1, np.int64)   # local neighbour vertex
-    nbr_t = np.zeros((nv, 2, 4), np.int8)       # neighbour strand
-    pruned = np.zeros((nv, 2), np.uint8)
-    gq = tbl.gid[av].astype(_U64)
-    for s in (0, 1):
-        om = fwd if s == 0 else rcm
-        tail = om[:, 1:]
-        for b in range(4):
-            has = ((raw[:, s] >> b) & 1).astype(bool)
-            if not has.any():
-                continue
-            sh = np.concatenate(
-                [tail[has], np.full((has.sum(), 1), b, np.uint8)], axis=1)
-            f_hi, f_lo = _codes_to_hilo(sh, k)
-            rsh = (3 - sh[:, ::-1]).astype(np.uint8)
-            r_hi, r_lo = _codes_to_hilo(rsh, k)
-            is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-            q_hi = np.where(is_f, f_hi, r_hi)
-            q_lo = np.where(is_f, f_lo, r_lo)
-            gi = _bisect3(tbl.key_g, tbl.key_hi, tbl.key_lo,
-                          gq[has], q_hi, q_lo)
-            ok = (gi >= 0) & tbl.alive[np.maximum(gi, 0)]
-            li = np.where(ok, inv[np.maximum(gi, 0)], -1)
-            rows = np.flatnonzero(has)
-            nbr_v[rows, s, b] = li
-            nbr_t[rows, s, b] = np.where(is_f, 0, 1)
-            pruned[rows[ok], s] |= np.uint8(1 << b)
+    # succ per adaptor (GetNextVertexAdaptor, contig_graph.h:116-123:
+    # unique out, unique in at next, palindrome-bounce break)
+    a_ids = np.arange(na, dtype=np.int32)
+    single = pop_a == 1
+    rows = np.flatnonzero(single).astype(np.int32)
+    b1 = np.argmax(ok[rows], axis=1)
+    w = slot_tgt[rows, b1]
+    t = slot_t[rows, b1].astype(np.int32)
+    wa = w * 2 + t
+    good = (pop_a[wa ^ 1] == 1) & (wa != (rows ^ 1))
+    succ = np.full(na, -1, np.int32)
+    succ[rows[good]] = wa[good]
 
-    pop = _POP4[pruned]                          # (nv, 2)
-    # succ per adaptor a = 2*v + s  (GetNextVertexAdaptor,
-    # contig_graph.h:116-123: unique out, unique in at next, and the
-    # palindrome-bounce break IsPalindromeLoop)
-    succ = np.full(2 * nv, -1, np.int64)
-    for s in (0, 1):
-        single = pop[:, s] == 1
-        rows = np.flatnonzero(single)
-        if len(rows) == 0:
-            continue
-        b = _BIT4[pruned[rows, s]].astype(np.int64)
-        w = nbr_v[rows, s, b]
-        t = nbr_t[rows, s, b].astype(np.int64)
-        ok = pop[w, 1 - t] == 1
-        bounce = (w == rows) & (t == 1 - s)      # next == rc(current)
-        ok &= ~bounce
-        succ[rows[ok] * 2 + s] = w[ok] * 2 + t[ok]
+    # predecessor via twin symmetry; rank chains (native O(n) walk,
+    # pointer doubling as the fallback)
+    st = succ[a_ids ^ 1]
+    pred = np.where(st >= 0, st ^ 1, np.int32(-1))
+    from ..native import chain_rank as _native_chain_rank
 
-    # predecessor via twin symmetry; doubling for leader + rank
-    a_ids = np.arange(2 * nv)
-    twin = a_ids ^ 1
-    st = succ[twin]
-    pred = np.where(st >= 0, st ^ 1, -1)
-    par = np.where(pred >= 0, pred, a_ids)
-    rank = (pred >= 0).astype(np.int64)
-    iters = max(1, int(np.ceil(np.log2(max(2 * nv, 2)))) + 1)
-    for _ in range(iters):
-        rank = rank + rank[par]
-        par = par[par]
-    cyc = pred[par] >= 0
+    ranked = _native_chain_rank(succ, pred, np.ones(na, dtype=bool))
+    if ranked is not None:
+        cs32, _, pos32, cyc = ranked
+        leader = cs32.astype(np.int64)
+        rank = pos32.astype(np.int64)
+    else:
+        par = np.where(pred >= 0, pred, a_ids).astype(np.int64)
+        rank = (pred >= 0).astype(np.int64)
+        iters = max(1, int(np.ceil(np.log2(max(na, 2)))) + 1)
+        for _ in range(iters):
+            rank = rank + rank[par]
+            par = par[par]
+        cyc = pred[par] >= 0
+        leader = par
     if cyc.any():
-        tbl.alive[av[np.unique(a_ids[cyc] >> 1)]] = False
+        tbl.alive[np.unique(a_ids[cyc] >> 1)] = False
         return _contract(tbl)
+    # chain ordering: heads ascending == the old lexsort's group order
+    # (leader == head id); within-chain order by a native O(n) walk
+    # instead of lexsort((rank, leader))
+    from ..native import collect_chain_edges
 
-    leader = par
-    tail_mask = succ < 0
-    # chain length per leader; keep one of each fwd/rc pair
-    order = np.lexsort((rank, leader))
-    lead_s = leader[order]
-    seg_head = np.ones(len(order), dtype=bool)
-    seg_head[1:] = lead_s[1:] != lead_s[:-1]
-    sidx = np.flatnonzero(seg_head)
-    seg_end = np.concatenate([sidx[1:], [len(order)]])
+    heads32 = np.flatnonzero(pred < 0).astype(np.int32)
+    lens32 = np.bincount(leader, minlength=na)[heads32] \
+        .astype(np.int32)
+    order = collect_chain_edges(succ, heads32, lens32)
+    if order is None:  # no native toolchain: walk via argsort
+        order = np.lexsort((rank, leader))
+    order = order.astype(np.int64)
+    seg_end = np.cumsum(lens32.astype(np.int64))
+    sidx = seg_end - lens32
     heads = order[sidx]
     tails = order[seg_end - 1]
-    keep = heads < (tails ^ 1)
-    # fold detection: a vertex appearing twice within a kept chain
-    seg_id = np.cumsum(seg_head) - 1
-    vorder = np.lexsort((order >> 1, lead_s))
-    dupv = np.zeros(len(order), dtype=bool)
-    dupv[1:] = ((lead_s[vorder][1:] == lead_s[vorder][:-1])
-                & ((order[vorder][1:] >> 1) == (order[vorder][:-1] >> 1)))
-    if dupv.any():
+    keep = (heads < (tails ^ 1)) & alive[heads >> 1]
+    # fold detection: a vertex appears twice within one chain iff its
+    # two adaptors share a leader (the rc-bounce break prevents
+    # self-twin chains, so cross-twin sharing implies a fold)
+    fold_v = leader[0::2] == leader[1::2]            # (V,)
+    if fold_v.any():
         # folded chains revisit a vertex: IDBA's LockPreempt fails and
         # the whole path is discarded (hash_graph.cpp:113-118); its
         # vertices never re-enter the graph
-        folded_segs = np.unique(seg_id[vorder][dupv])
-        fold_mask = np.zeros(len(sidx), dtype=bool)
-        fold_mask[folded_segs] = True
-        for si in folded_segs:
+        fold_head = np.zeros(na, dtype=bool)
+        fold_head[leader[0::2][fold_v]] = True
+        fold_mask = fold_head[heads]
+        for si in np.flatnonzero(fold_mask):
             ads = order[sidx[si]:seg_end[si]]
-            tbl.alive[av[np.unique(ads >> 1)]] = False
+            tbl.alive[np.unique(ads >> 1)] = False
         keep &= ~fold_mask
 
     n = (seg_end - sidx)[keep].astype(np.int64)
-    # ordered adaptors of kept chains, concatenated
-    keep_row = keep[seg_id]
+    # ordered adaptors of kept chains, concatenated (global ids)
+    keep_row = np.repeat(keep, lens32)
     adaptors = order[keep_row]
     chain_start = np.concatenate([[0], np.cumsum(n)])
-    vs_all = av[adaptors >> 1]
+    vs_all = adaptors >> 1
     kcount = np.add.reduceat(tbl.cnt[vs_all], chain_start[:-1]) \
         if len(n) else np.zeros(0, np.int64)
     gidc = tbl.gid[vs_all[chain_start[:-1]]] if len(n) \
         else np.zeros(0, np.int64)
 
     # adaptor -> chain (both directions map to the kept chain)
-    chain_of_adaptor = np.full(2 * nv, -1, np.int64)
+    chain_of_adaptor = np.full(na, -1, np.int64)
     chain_of_adaptor[adaptors] = np.repeat(np.arange(len(n)), n)
     chain_of_adaptor[adaptors ^ 1] = chain_of_adaptor[adaptors]
-
-    # adaptor ids above index the COMPACTED live array (av); the stored
-    # chain adaptors must be global table ids for kill()/codes_of()
-    adaptors_g = (av[adaptors >> 1] << 1) | (adaptors & 1)
 
     c = len(n)
     heads_k = adaptors[chain_start[:-1]] if c else np.zeros(0, np.int64)
@@ -424,24 +522,23 @@ def _contract(tbl: _VertexTable) -> _Contigs:
     nbr_chain = np.full((c, 2, 4), -1, np.int64)
     nbr_strand = np.full((c, 2, 4), -1, np.int8)
     for s_c, ad in ((0, tails_k), (1, heads_k ^ 1)):
-        vv, ss = ad >> 1, ad & 1
-        raw_bits[:, s_c] = pruned[vv, ss]
+        raw_bits[:, s_c] = okbits[ad]
         for b in range(4):
-            has = ((pruned[vv, ss] >> b) & 1).astype(bool)
+            has = ok[ad, b]
             rows = np.flatnonzero(has)
             if len(rows) == 0:
                 continue
-            w = nbr_v[vv[rows], ss[rows], b]
-            t = nbr_t[vv[rows], ss[rows], b].astype(np.int64)
-            wa = w * 2 + t
+            adr = ad[rows]
+            wa = slot_tgt[adr, b] * 2 + slot_t[adr, b]
             nc = chain_of_adaptor[wa]
             nbr_chain[rows, s_c, b] = nc
-            # arriving strand: 0 if (w,t) is that chain's head
+            # arriving strand: 0 if the target adaptor is that
+            # chain's head
             okc = nc >= 0
             hk = heads_k[np.maximum(nc, 0)]
             nbr_strand[rows, s_c, b] = np.where(
                 okc & (hk == wa), 0, 1).astype(np.int8)
-    return _Contigs(tbl, n, kcount, gidc, adaptors_g, chain_start,
+    return _Contigs(tbl, n, kcount, gidc, adaptors, chain_start,
                     chain_of_adaptor, nbr_chain, nbr_strand, raw_bits)
 
 
