@@ -582,6 +582,20 @@ def build_sdbg_bucketed(
             cs = np.cumsum(srows[:, w], dtype=np.int64)
             tails = cs[tail]
             sums = np.diff(np.concatenate([[0], tails]))
+            # palindromic keys (possible: the edge length k is even)
+            # received BOTH strand rows of each window into ONE group,
+            # so their window count arrived doubled; the reference
+            # counter counts each canonical window once
+            # (kmer_counter.cpp:137-144). Cheap prefilter: a
+            # palindrome's first base must complement its last.
+            first_b = edges[:, 0] >> np.uint32(30)
+            lw, sh = (k - 1) >> 4, 30 - 2 * ((k - 1) & 15)
+            last_b = (edges[:, lw] >> np.uint32(sh)) & np.uint32(3)
+            cand = np.flatnonzero(first_b == np.uint32(3) - last_b)
+            if len(cand):
+                rcc = np_revcomp(edges[cand], k)
+                pal = cand[(rcc == edges[cand]).all(axis=1)]
+                sums[pal] >>= 1
             mult = np.minimum(sums, KMAX_MUL).astype(np.int32)
             if min_count > 1:
                 solid = sums >= min_count

@@ -372,3 +372,38 @@ def test_bucketed_forced_bucket_sort_matches(tmp_path, k):
     finally:
         os.environ.pop("MEGAHIT_TPU_BUCKET_SORT")
     _assert_sdbg_equal(out, ref)
+
+
+def test_count_mode_palindrome_not_doubled(tmp_path):
+    """A palindromic (k1 even) window spills BOTH strand rows into one
+    group; count mode must un-double it (reference counts each
+    canonical window once, kmer_counter.cpp:137-144) - otherwise a
+    once-seen palindromic edge passes min_count=2."""
+    from megahit_tpu.core import packing
+    from megahit_tpu.graph.bucketed import (PoolSource,
+                                            build_sdbg_bucketed)
+    from megahit_tpu.graph.counter import count_canonical_kmers
+
+    rng = np.random.default_rng(3)
+    k1 = 22
+    half = rng.integers(0, 4, k1 // 2).astype(np.uint8)
+    pal = np.concatenate([half, packing.revcomp_codes(half)])
+    assert (packing.revcomp_codes(pal) == pal).all()
+    reads = [np.concatenate([rng.integers(0, 4, 30).astype(np.uint8),
+                             pal,
+                             rng.integers(0, 4, 30).astype(np.uint8)])]
+    reads += [rng.integers(0, 4, 60).astype(np.uint8)
+              for _ in range(20)]
+    flat, starts = packing.pack_many(reads)
+    for mc in (1, 2):
+        keys, counts = count_canonical_kmers(flat, starts, k1, mc)
+        sdbg = build_sdbg_bucketed(
+            [PoolSource(flat, starts,
+                        np.ones(len(reads), np.int32))],
+            k1, budget_rows=1 << 14, spill_dir=str(tmp_path / f"s{mc}"),
+            min_count=mc, mult_mode="count",
+        )
+        idx = np.arange(sdbg.size, dtype=np.int64)
+        canon = sdbg.valid & (idx <= sdbg.rc)
+        np.testing.assert_array_equal(sdbg.keys[canon], keys)
+        np.testing.assert_array_equal(sdbg.mult[canon], counts)
