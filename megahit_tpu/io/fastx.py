@@ -158,15 +158,104 @@ def trim_n(seq: bytes) -> bytes:
     return seq[b:e]
 
 
+def _open_bulk(path: str):
+    """Reader for whole-file ingestion. zlib via the Python module
+    measures FASTER than `gzip -dc` on this class of host (~250 vs
+    ~135 MB/s) and releases the GIL, so bulk reads prefer it; the
+    subprocess feeders remain for the streaming iterator."""
+    with open(path, "rb") as probe:
+        magic = probe.read(3)
+    if magic[:2] == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    if magic == b"BZh":
+        for tool in ("pbzip2", "lbzip2"):
+            fh = _popen_decompressor(tool, path)
+            if fh is not None:
+                return fh
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def _raw_chunks(path: str, chunk: int = 16 << 20):
+    """Yield decompressed chunks with one-chunk background prefetch,
+    so inflation (zlib releases the GIL) overlaps the consumer's
+    native parse - the reference's FIFO-feeder pipeline parallelism
+    (src/megahit:700-745) in-process."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def reader():
+        try:
+            with _open_bulk(path) as fh:
+                while True:
+                    data = fh.read(chunk)
+                    if not data:
+                        break
+                    q.put(bytes(data))
+            q.put(None)
+        except BaseException as e:  # surfaced by the consumer
+            q.put(e)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            if item is None:
+                break
+            yield item
+    finally:
+        t.join()
+
+
 def read_fastx_flat(
-    path: str, do_trim_n: bool = True
+    path: str, do_trim_n: bool = True, chunk_bytes: int = 16 << 20
 ) -> tuple[np.ndarray, np.ndarray]:
     """Read a whole file into pool form (flat_codes, starts).
 
     Uses the native C++ parser (megahit_tpu.native) when available -
-    the reference's host I/O core is C++ too (kseq + SequencePackage);
-    falls back to the Python line parser."""
+    the reference's host I/O core is C++ too (kseq + SequencePackage).
+    Chunked: the native partial parser consumes complete records per
+    decompressed chunk (carrying the cut tail) while the next chunk
+    inflates in a background thread; falls back to the whole-buffer
+    Python line parser."""
     from .. import native
+
+    if native.get_lib() is not None:
+        code_parts, len_parts = [], []
+        carry = b""
+        ok = True
+        for data in _raw_chunks(path, chunk_bytes):
+            buf = carry + data if carry else data
+            out = native.parse_fastx_partial(buf, eof=False,
+                                             trim_n=do_trim_n)
+            if out is None:  # malformed for the fast path
+                ok = False
+                break
+            codes, lens, consumed = out
+            code_parts.append(codes)
+            len_parts.append(lens)
+            carry = buf[consumed:]
+        if ok and carry:
+            out = native.parse_fastx_partial(carry, eof=True,
+                                             trim_n=do_trim_n)
+            if out is None:
+                ok = False
+            else:
+                code_parts.append(out[0])
+                len_parts.append(out[1])
+        if ok:
+            if not code_parts:
+                return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+            flat = np.concatenate(code_parts)
+            lens = np.concatenate(len_parts)
+            starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            return flat, starts
 
     with _open(path) as fh:
         data = fh.read()

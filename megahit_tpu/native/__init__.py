@@ -87,6 +87,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.fastx_parse_partial.restype = ctypes.c_int64
+        lib.fastx_parse_partial.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     except OSError as e:
         get_logger().warning(
@@ -125,6 +133,35 @@ def parse_fastx_buffer_flat(
     starts = np.zeros(n_seqs + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     return codes[: starts[-1]].copy(), starts
+
+
+def parse_fastx_partial(
+    data: bytes, eof: bool, trim_n: bool = True
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Parse the COMPLETE records of a chunk; returns (flat_codes,
+    lens, consumed_bytes) - the incomplete tail is the caller's carry.
+    None if native is unavailable or the chunk is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64), 0
+    codes = np.empty(n, dtype=np.uint8)
+    max_seqs = n // 4 + 2
+    lens = np.empty(max_seqs, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    n_seqs = lib.fastx_parse_partial(
+        data, n, 1 if eof else 0,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_seqs, 1 if trim_n else 0,
+        ctypes.byref(consumed),
+    )
+    if n_seqs < 0:
+        return None
+    lens = lens[:n_seqs]
+    return codes[: int(lens.sum())].copy(), lens.copy(), consumed.value
 
 
 def parse_fastx_buffer(

@@ -123,6 +123,96 @@ int64_t fastx_parse(const uint8_t *buf, int64_t n, uint8_t *out_codes,
   return n_seqs;
 }
 
+// Streaming variant: parse only COMPLETE records, reporting how many
+// input bytes were consumed so the caller can carry the tail into the
+// next chunk (chunked ingestion overlapping decompression; reference
+// feeds decompressors through FIFOs, src/megahit:700-745).
+//   eof: 1 = buffer is the end of the stream (parse everything,
+//        truncated-record semantics as fastx_parse); 0 = the final
+//        possibly-incomplete record is rolled back.
+// Returns n_seqs (>= 0), -1 malformed, -2 max_seqs exceeded.
+// *consumed is set to the byte offset after the last complete record
+// (== n when eof or everything parsed).
+int64_t fastx_parse_partial(const uint8_t *buf, int64_t n, int eof,
+                            uint8_t *out_codes, int64_t *out_lens,
+                            int64_t max_seqs, int trim_n,
+                            int64_t *consumed) {
+  int64_t i = 0, n_seqs = 0, out_pos = 0;
+  *consumed = 0;
+  while (i < n && (buf[i] == '\n' || buf[i] == '\r')) ++i;
+  if (i >= n) {
+    *consumed = n;
+    return 0;
+  }
+  const int is_fastq = buf[i] == '@';
+  if (!is_fastq && buf[i] != '>') return -1;
+
+  auto next_nl = [&](int64_t from) -> int64_t {
+    if (from >= n) return n;
+    const void *p = memchr(buf + from, '\n', n - from);
+    return p ? (const uint8_t *)p - buf : n;
+  };
+
+  while (i < n) {
+    if (buf[i] == '\n' || buf[i] == '\r') { ++i; continue; }
+    if (buf[i] != (is_fastq ? '@' : '>')) return -1;
+    int64_t rec_start = i;
+    i = next_nl(i) + 1;  // skip header line
+    if (n_seqs >= max_seqs) return -2;
+    if (i >= n) {
+      if (!eof) { *consumed = rec_start; return n_seqs; }
+      out_lens[n_seqs++] = 0;
+      *consumed = n;
+      return n_seqs;
+    }
+    int64_t seq_start_out = out_pos;
+    uint8_t *raw = out_codes + out_pos;
+    int64_t raw_len = 0;
+    int complete = 1;
+    if (is_fastq) {
+      int64_t e = next_nl(i);
+      raw_len = e - i;
+      memcpy(raw, buf + i, raw_len);
+      if (raw_len && raw[raw_len - 1] == '\r') --raw_len;
+      i = next_nl(e + 1) + 1;  // skip '+' line
+      int64_t q = 0;
+      while (i < n && q < raw_len) {
+        int64_t e2 = next_nl(i);
+        q += e2 - i;
+        i = e2 + 1;
+      }
+      // quality must be fully present; a record whose parse ran off
+      // the buffer before that may be cut mid-line (q == raw_len > 0
+      // is decisive even at the buffer end: quality length equals
+      // sequence length, so it cannot continue)
+      if (!eof && (q < raw_len || (raw_len == 0 && i >= n)))
+        complete = 0;
+    } else {
+      while (i < n && buf[i] != '>') {
+        int64_t e = next_nl(i);
+        int64_t len = e - i;
+        if (len && buf[e - 1] == '\r') --len;
+        memcpy(raw + raw_len, buf + i, len);
+        raw_len += len;
+        i = e + 1;
+      }
+      // a FASTA record is only known complete once the next '>' (or
+      // the true end of the stream) is seen
+      if (!eof && i >= n) complete = 0;
+    }
+    if (!complete) {
+      *consumed = rec_start;
+      return n_seqs;
+    }
+    int64_t coded = emit_seq(raw, raw_len, raw, trim_n);
+    out_lens[n_seqs++] = coded;
+    out_pos = seq_start_out + coded;
+    *consumed = i < n ? i : n;
+  }
+  *consumed = n;
+  return n_seqs;
+}
+
 // Pack base codes (one byte each, values 0..3) into big-endian 2-bit
 // words: base i occupies bits [30-2*(i%16), 32-2*(i%16)) of word i/16.
 // out must have capacity ceil(n/16) words, zero-initialised by callee.

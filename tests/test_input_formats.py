@@ -72,3 +72,50 @@ def test_n_bases_trimmed(tmp_path):
         s = packing.decode(c.codes)
         rcs = packing.decode(packing.revcomp_codes(c.codes))
         assert (s in g) or (rcs in g)
+
+
+def test_chunked_ingest_boundaries(tmp_path):
+    """The native partial parser must carry cut records across every
+    possible chunk boundary: parse with pathologically small chunks
+    and compare against the whole-buffer parse (FASTA multi-line,
+    FASTQ with '@' inside quality strings, N-trimming, CRLF)."""
+    import gzip
+
+    import numpy as np
+
+    from megahit_tpu.io.fastx import read_fastx_flat
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+
+    fa = []
+    for i in range(50):
+        s = bases[rng.integers(0, 5, int(rng.integers(1, 200)))]
+        seq = s.tobytes()
+        # multi-line records with CRLF sprinkled in
+        lines = [seq[j:j + 37] for j in range(0, len(seq), 37)]
+        sep = b"\r\n" if i % 7 == 0 else b"\n"
+        fa.append(b">r" + str(i).encode() + b" extra\n"
+                  + sep.join(lines) + b"\n")
+    fa_path = str(tmp_path / "t.fa.gz")
+    with gzip.open(fa_path, "wb") as fh:
+        fh.write(b"".join(fa))
+
+    fq = []
+    for i in range(60):
+        s = bases[rng.integers(0, 4, int(rng.integers(1, 180)))]
+        qual = bytes(rng.integers(33, 74, len(s)).astype(np.uint8))
+        # '@' is a legal quality char - boundaries must not misparse
+        qual = b"@" + qual[1:] if len(qual) > 1 else b"@"
+        fq.append(b"@q" + str(i).encode() + b"\n" + s.tobytes()
+                  + b"\n+\n" + qual + b"\n")
+    fq_path = str(tmp_path / "t.fq.gz")
+    with gzip.open(fq_path, "wb") as fh:
+        fh.write(b"".join(fq))
+
+    for path in (fa_path, fq_path):
+        want = read_fastx_flat(path, chunk_bytes=1 << 30)
+        for chunk in (17, 64, 401, 4096):
+            got = read_fastx_flat(path, chunk_bytes=chunk)
+            np.testing.assert_array_equal(got[0], want[0]), (path, chunk)
+            np.testing.assert_array_equal(got[1], want[1]), (path, chunk)
