@@ -55,97 +55,98 @@ _BIT4 = np.array(
 _U64 = np.uint64
 
 
-def _codes_to_hilo(cm: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Fold (N, k) 2-bit codes (big-endian) into (hi, lo) uint64 pairs
-    whose numeric order equals lexicographic base order."""
+# IdbaKmer sizes itself for kMaxK = 255 (reference definitions.h:46
+# kUint64PerIdbaKmerMaxK), so local rungs can reach min(next_k,
+# max_read_len) at any ladder height
+IDBA_KMAX = 255
+
+
+def _ncols(k: int) -> int:
+    """u64 key columns for k bases (2 bits each, LEFT-aligned)."""
+    assert k <= IDBA_KMAX, k
+    return (2 * k + 63) // 64
+
+
+def _codes_to_cols(cm: np.ndarray, k: int) -> list[np.ndarray]:
+    """Fold (N, k) 2-bit codes (big-endian) into LEFT-aligned u64
+    columns whose column-major lexicographic order equals base order
+    (zero-padded tails, like the kmerops word layout)."""
     n = cm.shape[0]
-    hi = np.zeros(n, _U64)
-    lo = np.zeros(n, _U64)
+    cols = [np.zeros(n, _U64) for _ in range(_ncols(k))]
     for j in range(k):
-        shift = 2 * (k - 1 - j)
         c = cm[:, j].astype(_U64)
-        if shift >= 64:
-            hi |= c << _U64(shift - 64)
-        else:
-            lo |= c << _U64(shift)
-    return hi, lo
+        cols[j // 32] |= c << _U64(62 - 2 * (j % 32))
+    return cols
 
 
-def _bisect3(t_g: np.ndarray, t_hi: np.ndarray, t_lo: np.ndarray,
-             q_g: np.ndarray, q_hi: np.ndarray, q_lo: np.ndarray
-             ) -> np.ndarray:
-    """Exact-match index of each (q_g, q_hi, q_lo) in the table sorted
-    by (group, hi, lo); -1 where absent. The group rides as its own
-    column: packing it into the hi word's spare bits (round-1 scheme)
-    silently overflows u64 once 2k + group bits > 128 - e.g. every
-    mini-assembly rung at k >= 65, and k in {59..63} for wide slabs -
-    colliding vertices ACROSS groups and shredding their graphs."""
+def _words_to_cols(words: np.ndarray, k: int) -> list[np.ndarray]:
+    """(N, W) left-aligned kmerops u32 words -> the same left-aligned
+    u64 columns (pairs of words; zero tail padding preserved)."""
+    wn = words.shape[1]
+
+    def w(i):
+        return words[:, i].astype(_U64) if i < wn else \
+            np.zeros(len(words), _U64)
+
+    return [(w(2 * j) << _U64(32)) | w(2 * j + 1)
+            for j in range(_ncols(k))]
+
+
+def _bisect3(t_g: np.ndarray, t_cols: list, q_g: np.ndarray,
+             q_cols: list) -> np.ndarray:
+    """Exact-match index of each (group, key-columns) query in the
+    table sorted by (group, columns); -1 where absent. The group rides
+    as its own column and the key as up to 4 u64 columns (k <= 128 =
+    IdbaKmer capacity): the round-1 scheme packed everything into two
+    u64s, which silently overflows for k >= 65 - precisely the rungs a
+    high-k ladder's local assembly runs (kmax = next_k)."""
     if len(t_g) == 0 or len(q_g) == 0:
         return np.full(len(q_g), -1, np.int64)
     lo = np.searchsorted(t_g, q_g, "left")
     hi = np.searchsorted(t_g, q_g, "right")
+    nc = len(t_cols)
     while True:
         active = lo < hi
         if not active.any():
             break
         mid = (lo + hi) >> 1
-        safe = np.minimum(mid, len(t_hi) - 1)
-        mh = t_hi[safe]
-        ml = t_lo[safe]
-        right = active & ((mh < q_hi) | ((mh == q_hi) & (ml < q_lo)))
+        safe = np.minimum(mid, len(t_g) - 1)
+        # lexicographic (mid < query) over the key columns
+        less = np.zeros(len(q_g), dtype=bool)
+        tied = np.ones(len(q_g), dtype=bool)
+        for c in range(nc):
+            m = t_cols[c][safe]
+            less |= tied & (m < q_cols[c])
+            tied &= m == q_cols[c]
+        right = active & less
         lo = np.where(right, mid + 1, lo)
         hi = np.where(active & ~right, mid, hi)
     idx = np.minimum(lo, len(t_g) - 1)
-    found = (t_g[idx] == q_g) & (t_hi[idx] == q_hi) \
-        & (t_lo[idx] == q_lo)
+    found = t_g[idx] == q_g
+    for c in range(nc):
+        found &= t_cols[c][idx] == q_cols[c]
     return np.where(found, idx, -1)
 
 
-def _words_to_hilo(words: np.ndarray, k: int
-                   ) -> tuple[np.ndarray, np.ndarray]:
-    """(N, W) left-aligned 2-bit kmerops words -> the same right-
-    aligned (hi, lo) u64 pair _codes_to_hilo produces. k <= 64 (the
-    whole mini-assembly keying is 128-bit; the IDBA ladder tops out at
-    41)."""
-    assert k <= 64, k
-    wn = words.shape[1]
-
-    def col(i):
-        return words[:, i].astype(_U64) if i < wn else \
-            np.zeros(len(words), _U64)
-
-    a = (col(0) << _U64(32)) | col(1)
-    if k <= 32:
-        sh = 64 - 2 * k
-        lo = a >> _U64(sh) if sh else a
-        return np.zeros(len(words), _U64), lo
-    b = (col(2) << _U64(32)) | col(3)
-    s = 128 - 2 * k
-    if s == 0:
-        return a, b
-    hi = a >> _U64(s)
-    lo = (b >> _U64(s)) | (a << _U64(64 - s))
-    return hi, lo
-
-
-def _argsort_g_hilo(gid: np.ndarray, hi: np.ndarray, lo: np.ndarray,
-                    k: int) -> np.ndarray:
-    """argsort by (gid, hi, lo). Equal full keys are aggregation
+def _argsort_g_cols(gid: np.ndarray, cols: list, k: int) -> np.ndarray:
+    """argsort by (gid, key columns). Equal full keys are aggregation
     groups (bits OR'd, counts summed), so an unstable sort is fine -
     the native parallel MSD row sort applies when the key packs into
-    4 u32 words (k <= 48: hi < 2^32)."""
+    4 u32 words (k <= 48: bits fit in gid + 3 words)."""
     if k <= 48 and gid.max(initial=0) < (1 << 32):
         from ..native import argsort_rows
 
+        c0 = cols[0]
+        c1 = cols[1] if len(cols) > 1 else np.zeros(len(gid), _U64)
         rows = np.empty((len(gid), 4), np.uint32)
         rows[:, 0] = gid
-        rows[:, 1] = hi
-        rows[:, 2] = lo >> _U64(32)
-        rows[:, 3] = lo & _U64(0xFFFFFFFF)
+        rows[:, 1] = c0 >> _U64(32)
+        rows[:, 2] = c0 & _U64(0xFFFFFFFF)
+        rows[:, 3] = c1 >> _U64(32)  # low 32 bits zero for k <= 48
         perm = argsort_rows(rows)
         if perm is not None:
             return perm
-    return np.lexsort((lo, hi, gid))
+    return np.lexsort(tuple(reversed(cols)) + (gid,))
 
 
 class _VertexTable:
@@ -161,11 +162,9 @@ class _VertexTable:
         self.out0 = out0      # (V,) uint8 out-edge bits, canonical strand
         self.out1 = out1      # (V,) uint8 out-edge bits, rc strand
         self.alive = np.ones(len(gid), dtype=bool)
-        c_hi, c_lo = _codes_to_hilo(vk, k)
-        # (group, hi, lo) three-column key; rows arrive sorted by it
+        # (group, key-columns) sort key; rows arrive sorted by it
         self.key_g = gid.astype(_U64)
-        self.key_hi = c_hi
-        self.key_lo = c_lo
+        self.key_cols = _codes_to_cols(vk, k)
         self._nbr_cache = None
 
     @property
@@ -200,14 +199,20 @@ class _VertexTable:
                 sh = np.concatenate(
                     [tail[has], np.full((has.sum(), 1), b, np.uint8)],
                     axis=1)
-                f_hi, f_lo = _codes_to_hilo(sh, k)
+                f_cols = _codes_to_cols(sh, k)
                 rsh = (3 - sh[:, ::-1]).astype(np.uint8)
-                r_hi, r_lo = _codes_to_hilo(rsh, k)
-                is_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-                q_hi = np.where(is_f, f_hi, r_hi)
-                q_lo = np.where(is_f, f_lo, r_lo)
-                gi = _bisect3(self.key_g, self.key_hi, self.key_lo,
-                              gq[has], q_hi, q_lo)
+                r_cols = _codes_to_cols(rsh, k)
+                # canonical = min(fwd, rc); ties (palindrome) -> fwd
+                f_less = np.zeros(len(sh), dtype=bool)
+                tied = np.ones(len(sh), dtype=bool)
+                for fc, rc_ in zip(f_cols, r_cols):
+                    f_less |= tied & (fc < rc_)
+                    tied &= fc == rc_
+                is_f = f_less | tied
+                q_cols = [np.where(is_f, fc, rc_)
+                          for fc, rc_ in zip(f_cols, r_cols)]
+                gi = _bisect3(self.key_g, self.key_cols,
+                              gq[has], q_cols)
                 rows = np.flatnonzero(has)
                 nbr_g[rows, s, b] = gi.astype(np.int32)
                 nbr_t[rows, s, b] = np.where(is_f, 0, 1)
@@ -259,7 +264,7 @@ def _build_vertices(seqs: list[np.ndarray], gids: list[int],
     canon, is_rc = kmerops.canonical_kmers(keys, k)
     canon = np.asarray(canon)[:n_win]
     is_f = ~np.asarray(is_rc)[:n_win]  # tie (palindrome) -> forward
-    c_hi, c_lo = _words_to_hilo(canon, k)
+    c_cols = _words_to_cols(canon, k)
 
     nb_bit = np.where(has_next, (1 << next_b).astype(np.uint8), 0)
     pb_bit = np.where(has_prev, (1 << (3 - prev_b)).astype(np.uint8), 0)
@@ -268,14 +273,16 @@ def _build_vertices(seqs: list[np.ndarray], gids: list[int],
 
     gid_w = g_of[sid]
     kd_w = kd_of[sid]
-    order = _argsort_g_hilo(gid_w, c_hi, c_lo, k)
-    gid_w, c_hi, c_lo = gid_w[order], c_hi[order], c_lo[order]
+    order = _argsort_g_cols(gid_w, c_cols, k)
+    gid_w = gid_w[order]
+    c_cols = [c[order] for c in c_cols]
     canon, bits0, bits1 = canon[order], bits0[order], bits1[order]
     kd_w = kd_w[order]
 
     head = np.ones(len(gid_w), dtype=bool)
-    head[1:] = ((gid_w[1:] != gid_w[:-1]) | (c_hi[1:] != c_hi[:-1])
-                | (c_lo[1:] != c_lo[:-1]))
+    head[1:] = gid_w[1:] != gid_w[:-1]
+    for c in c_cols:
+        head[1:] |= c[1:] != c[:-1]
     hidx = np.flatnonzero(head)
     seg = np.cumsum(head) - 1
     v = len(hidx)

@@ -90,3 +90,26 @@ def test_local_assembly_fills_gap():
         if pos < 900 and pos + len(m) > 600:
             covered_gap = True
     assert covered_gap, "local contigs must reach into the gap"
+
+
+def test_mini_assemble_large_k_rungs():
+    """Local rungs run k = 11..min(next_k, read_len) step 6, so high
+    ladders reach k >= 65: the 128-bit (hi, lo) keying silently
+    overflowed there (numpy u64 shifts wrap at 64) until round 4's
+    u64-column keys. Error-free 200 bp reads at maxk=131 must
+    reassemble the genome segment through rungs 65..131."""
+    rng = np.random.default_rng(77)
+    genome = rng.integers(0, 4, 900).astype(np.uint8)
+    reads = [genome[s: s + 200].copy()
+             for s in range(0, len(genome) - 200, 9)]
+    out = mini_assemble([reads], [genome[:250].copy()],
+                        mink=11, maxk=131, step=6)
+    assert len(out[0]) >= 1
+    joined = [packing.decode(c) for c in out[0]]
+    g = packing.decode(genome)
+    grc = packing.decode(packing.revcomp_codes(genome))
+    best = max(len(c) for c in joined)
+    assert best >= 700, best  # one long contig spanning most reads
+    for c in joined:
+        if len(c) >= 131:
+            assert c in g or c in grc, "contig not a genome substring"
