@@ -120,14 +120,26 @@ def filterbylen(min_len: int, inp=sys.stdin, out=sys.stdout,
 
 
 def readstat(paths: list[str], out=sys.stdout) -> None:
-    """Read-count/length stats (read_stat.cpp:35-63)."""
+    """Read-count/length stats (read_stat.cpp:35-63). With no paths,
+    reads stdin like the reference (`megahit_toolkit readstat < f`)."""
+    from .io.fastx import _iter_fastx_stream
+
+    def records():
+        if not paths:
+            import io as _io
+
+            yield from _iter_fastx_stream(
+                _io.BufferedReader(sys.stdin.buffer, 1 << 20))
+            return
+        for p in paths:
+            yield from iter_fastx(p)
+
     n, total, mx, mn = 0, 0, 0, 999999999
-    for p in paths:
-        for rec in iter_fastx(p):
-            n += 1
-            total += len(rec.seq)
-            mx = max(mx, len(rec.seq))
-            mn = min(mn, len(rec.seq))
+    for rec in records():
+        n += 1
+        total += len(rec.seq)
+        mx = max(mx, len(rec.seq))
+        mn = min(mn, len(rec.seq))
     avg = total / n if n else 0.0
     out.write(
         f"number reads: {n}\ntotal size: {total}\nlongest: {mx}\n"
@@ -177,10 +189,7 @@ def main(argv=None) -> int:
     elif cmd == "filterbylen":
         filterbylen(int(rest[0]) if rest else 0)
     elif cmd == "readstat":
-        if not rest:
-            print("usage: readstat <reads.fa> [...]", file=sys.stderr)
-            return 1
-        readstat(rest)
+        readstat(rest)  # no args = stdin, like the reference
     else:
         print(f"unknown tool: {cmd}", file=sys.stderr)
         return 1
