@@ -232,7 +232,18 @@ class Sdbg:
                 # order vs invalid rows is irrelevant to the
                 # valid-edge tie-breaks ref_rank serves)
                 if self.k <= 32:
-                    col = kmerops.ref_order_u64(self.keys, self.k)
+                    from ..native import OP_REF_ORDER, transform_rows
+
+                    ro = transform_rows(self.keys, self.k,
+                                        OP_REF_ORDER)
+                    if ro is not None:
+                        # one native pass instead of ~6 numpy
+                        # bit-twiddle sweeps; u64 order == row order
+                        col = ro[:, 0].astype(np.uint64) << np.uint64(32)
+                        if ro.shape[1] > 1:
+                            col |= ro[:, 1]
+                    else:
+                        col = kmerops.ref_order_u64(self.keys, self.k)
                     col = np.where(self.valid, col,
                                    np.uint64(0xFFFFFFFFFFFFFFFF))
                     perm = np.argsort(col)
