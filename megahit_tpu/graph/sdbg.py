@@ -1038,6 +1038,11 @@ def simple_path_links_host(sdbg: "Sdbg"):
     rs, nl, rc = sdbg.run_start, sdbg.nxt_link, sdbg.rc
     valid = sdbg.valid
     rvc = sdbg.rvc
+    from ..native import simple_links as _native_simple_links
+
+    nat = _native_simple_links(rs, nl, rc, valid, rvc, sdbg.real)
+    if nat is not None:
+        return nat
     odt = np.where(nl >= 0, rvc[np.maximum(nl, 0)], 0)
     idt = rvc[rs[rc]]
     sel = valid & (odt == 1) & (idt == 1)

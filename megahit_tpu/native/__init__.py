@@ -279,6 +279,12 @@ def get_seedscan():
         lib.argsort_rows.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int, i64p, ctypes.c_int,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.simple_links.restype = None
+        lib.simple_links.argtypes = [
+            i32p, i32p, i32p, u8p, i32p, ctypes.c_int64,
+            ctypes.c_int64, i32p, i32p, ctypes.c_int,
+        ]
         _ss_lib = lib
     except OSError as e:
         get_logger().warning(
@@ -420,6 +426,36 @@ def row_search(table: np.ndarray, queries: np.ndarray
         _scan_threads(),
     )
     return idx, found.astype(bool)
+
+
+def simple_links(run_start: np.ndarray, nxt_link: np.ndarray,
+                 rc: np.ndarray, valid: np.ndarray, rvc: np.ndarray,
+                 real: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """Threaded simple-path links (sdbg.simple_path_links_host); None
+    when native is unavailable."""
+    lib = get_seedscan()
+    if lib is None:
+        return None
+    e = len(run_start)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+
+    def p(a):
+        return a.ctypes.data_as(i32)
+
+    run_start = np.ascontiguousarray(run_start, dtype=np.int32)
+    nxt_link = np.ascontiguousarray(nxt_link, dtype=np.int32)
+    rc = np.ascontiguousarray(rc, dtype=np.int32)
+    rvc = np.ascontiguousarray(rvc, dtype=np.int32)
+    validu = np.ascontiguousarray(valid, dtype=np.uint8)
+    nxt = np.empty(e, np.int32)
+    prv = np.empty(e, np.int32)
+    lib.simple_links(
+        p(run_start), p(nxt_link), p(rc),
+        validu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        p(rvc), ctypes.c_int64(e), ctypes.c_int64(real),
+        p(nxt), p(prv), _scan_threads(),
+    )
+    return nxt, prv
 
 
 def chain_rank(nxt: np.ndarray, prv: np.ndarray, valid: np.ndarray):

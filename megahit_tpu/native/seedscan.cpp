@@ -545,6 +545,37 @@ void argsort_rows(const uint32_t* keys, int64_t n, int W, int64_t* perm,
 
 // Batched lower_bound of (nq, W) query rows in the sorted (n, W)
 // table; idx = insertion points, found = exact-match flags.
+// Simple-path links over the run-based SdBG navigation core: nxt[e] =
+// the unique valid out-edge of e's target node when that node has
+// out-degree 1 and in-degree 1; prv is the exact inverse (graph/sdbg.py
+// simple_path_links_host; reference SDBG::NextSimplePathEdge,
+// sdbg.h:418-427). Threaded: the work is ~5 random gathers per edge.
+// prv writes are race-free (nxt is injective on valid edges).
+void simple_links(const int32_t* run_start, const int32_t* nxt_link,
+                  const int32_t* rc, const uint8_t* valid,
+                  const int32_t* rvc, int64_t e, int64_t real,
+                  int32_t* nxt, int32_t* prv, int n_threads) {
+  par_ranges(e, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      nxt[i] = -1;
+      prv[i] = -1;
+      if (!valid[i]) continue;
+      int32_t nl = nxt_link[i];
+      if (nl < 0 || rvc[nl] != 1) continue;
+      if (rvc[run_start[rc[i]]] != 1) continue;
+      int32_t m = nl;  // singleton runs: the start IS the member
+      int64_t end = nl + 4 < real ? nl + 4 : real;
+      for (int64_t j = nl; j < end && run_start[j] == nl; ++j)
+        if (valid[j]) { m = (int32_t)j; break; }
+      nxt[i] = m;
+    }
+  });
+  par_ranges(e, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      if (nxt[i] >= 0) prv[nxt[i]] = i;
+  });
+}
+
 void row_search(const uint32_t* table, int64_t n, const uint32_t* q,
                 int64_t nq, int W, int64_t* idx, uint8_t* found,
                 int n_threads) {

@@ -202,3 +202,35 @@ def test_row_search_parity(w):
         wanted = bisect.bisect_left(tv, qt)
         assert idx[j] == wanted, j
         assert found[j] == (wanted < len(tv) and tv[wanted] == qt), j
+
+
+def test_simple_links_parity():
+    """native simple_links vs the numpy fallback of
+    simple_path_links_host on random graphs, incl. invalidations."""
+    import megahit_tpu.native as N
+    from megahit_tpu.core import packing as pk
+    from megahit_tpu.graph import sdbg as S
+    from megahit_tpu.graph.counter import count_canonical_kmers
+
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        reads = [rng.integers(0, 4, int(rng.integers(30, 200)))
+                 .astype(np.uint8) for _ in range(60)]
+        flat, starts = pk.pack_many(reads)
+        k1 = int(rng.choice([12, 22, 33]))
+        keys, counts = count_canonical_kmers(flat, starts, k1, 1)
+        g = S.sdbg_from_edges(keys, counts, k1)
+        if trial % 2:  # exercise invalidated graphs
+            kill = rng.random(g.size) < 0.15
+            g.invalidate(kill)
+        nat = N.simple_links(g.run_start, g.nxt_link, g.rc, g.valid,
+                             g.rvc, g.real)
+        assert nat is not None
+        orig = N.simple_links
+        N.simple_links = lambda *a, **k: None
+        try:
+            want = S.simple_path_links_host(g)
+        finally:
+            N.simple_links = orig
+        np.testing.assert_array_equal(nat[0], want[0])
+        np.testing.assert_array_equal(nat[1], want[1])
