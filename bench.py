@@ -48,9 +48,11 @@ import time
 
 REPS = 10
 LOG2_POS = 24  # 16.7M windows per step
-N_RUNS = 4096  # batched-sort runs per step (run length = 4096: the
-               # production run shape for a 16.7M-row round at 16-bit
-               # bucket granularity, bucketed._MIN_RUN)
+N_RUNS = 32768  # batched-sort runs per step (run length = 512: the
+                # production run shape for a 16.7M-row round - 16-bit
+                # buckets average 256 rows and bucketed._MIN_RUN = 512;
+                # measured round 4 on this chip: 512-row runs sort
+                # ~2.6 ms vs 7.3 ms at the round-3 4096-row shape)
 
 _HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_history.jsonl")

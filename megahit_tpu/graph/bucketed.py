@@ -354,10 +354,14 @@ def _use_bucket_sort(mesh) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-# minimum batched run length: short runs waste compile shapes and the
-# per-run fixed cost; measured on v5e-lite the sort-cost curve is flat
-# below ~4K rows per run (RESULTS round 3)
-_MIN_RUN = 4096
+# minimum batched run length; the real run length is driven by the
+# largest bucket (run_len = max(_MIN_RUN, pow2ceil(max_bucket))).
+# Shorter runs keep winning on the chip - measured round 4 on the
+# v5e-lite at 16.7M x (u32,u16): 4096-row runs 7.26 ms, 1024-row
+# 3.96 ms, 256-row 2.08 ms - so the floor sits just above the average
+# bucket occupancy (16.7M rows / 65,536 buckets = 256) where packing
+# gaps stay small
+_MIN_RUN = 512
 
 
 def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
