@@ -591,25 +591,43 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     else:
         nxt_se = prv_se = np.zeros(0, dtype=np.int64)
 
-    # --- numpy pointer-doubling over super-edges
+    # --- rank the super-edge graph: native O(M) walk, numpy pointer
+    # doubling as the fallback
     idx = np.arange(m, dtype=np.int64)
-    nn = np.where(nxt_se >= 0, nxt_se, idx)
-    pp = np.where(prv_se >= 0, prv_se, idx)
-    d_end = (nxt_se >= 0).astype(np.int64)
-    d_start = (prv_se >= 0).astype(np.int64)
-    mn = idx.copy()
-    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))))
-    for _ in range(rounds):
-        d_end += d_end[nn]
-        d_start += d_start[pp]
-        np.minimum(mn, mn[nn], out=mn)
-        nn = nn[nn]
-        pp = pp[pp]
-    end_se, start_se, pos_se = nn, pp, d_start
+    from ..native import chain_rank as _native_chain_rank
 
-    in_cycle = nxt_se[end_se] >= 0 if m else np.zeros(0, bool)
-    chain_of = np.where(in_cycle, mn, start_se)
-    chain_end = np.where(in_cycle, prv_se[mn], end_se)
+    ranked = None
+    if m:
+        ranked = _native_chain_rank(
+            nxt_se.astype(np.int32), prv_se.astype(np.int32),
+            np.ones(m, dtype=bool))
+    if ranked is not None:
+        cs32, ce32, pos32, cyc8 = ranked
+        in_cycle = cyc8
+        chain_of = cs32.astype(np.int64)
+        chain_end = ce32.astype(np.int64)
+        # numpy doubling leaves cycle positions all-equal (ties break
+        # by stable index order downstream); reproduce that exactly
+        pos_se = np.where(in_cycle, 0, pos32).astype(np.int64)
+    else:
+        nn = np.where(nxt_se >= 0, nxt_se, idx)
+        pp = np.where(prv_se >= 0, prv_se, idx)
+        d_end = (nxt_se >= 0).astype(np.int64)
+        d_start = (prv_se >= 0).astype(np.int64)
+        mn = idx.copy()
+        rounds = max(1, int(np.ceil(np.log2(max(m, 2)))))
+        for _ in range(rounds):
+            d_end += d_end[nn]
+            d_start += d_start[pp]
+            np.minimum(mn, mn[nn], out=mn)
+            nn = nn[nn]
+            pp = pp[pp]
+        end_se, start_se, pos_se = nn, pp, d_start
+
+        in_cycle = nxt_se[end_se] >= 0 if m else np.zeros(0, bool)
+        chain_of = np.where(in_cycle, mn, start_se)
+        chain_end = np.where(in_cycle, prv_se[mn], end_se)
+        pos_se = np.where(in_cycle, 0, pos_se)
     is_rep = chain_of == idx
     rep = np.flatnonzero(is_rep)
     len_per = np.bincount(chain_of, weights=se_len, minlength=max(m, 1)
