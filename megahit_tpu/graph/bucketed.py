@@ -111,6 +111,21 @@ class SpillSet:
         for p in self.paths:
             if os.path.exists(p):
                 os.remove(p)
+        # persistent append handles: reopening 256 files per append
+        # costs more than the writes at high batch counts
+        self._fhs: dict[int, object] = {}
+
+    def _fh(self, i: int):
+        fh = self._fhs.get(i)
+        if fh is None:
+            fh = open(self.paths[i], "ab")
+            self._fhs[i] = fh
+        return fh
+
+    def _close_fhs(self) -> None:
+        for fh in self._fhs.values():
+            fh.close()
+        self._fhs.clear()
 
     def append(self, rows: np.ndarray) -> None:
         """rows: (N, row_words) uint32; bucketed by rows[:,0] >> 16."""
@@ -127,12 +142,12 @@ class SpillSet:
         offs = np.zeros(N_BUCKETS + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
         for i in np.nonzero(sizes)[0]:
-            with open(self.paths[i], "ab") as fh:
-                fh.write(rows[offs[i]:offs[i + 1]].tobytes())
+            self._fh(i).write(rows[offs[i]:offs[i + 1]].tobytes())
             self.sub_counts[i].append(sizes16[i].astype(np.uint32))
 
     def read_range(self, lo: int, hi: int) -> np.ndarray:
         """All rows of buckets [lo, hi) (file append order)."""
+        self._close_fhs()  # flush buffered appends before any read
         parts = []
         for i in range(lo, hi):
             if self.counts[i] == 0:
@@ -155,6 +170,7 @@ class SpillSet:
         the reconstructed per-row sub-bucket ids (each append is
         already sub-grouped, so ids come from np.repeat of the stored
         censuses, not from the data)."""
+        self._close_fhs()  # flush buffered appends before any read
         parts = []
         gcounts = np.zeros((hi - lo) * N_SUB, dtype=np.int64)
         sub_ids = np.arange(N_SUB, dtype=np.uint16)
@@ -177,6 +193,7 @@ class SpillSet:
         return np.concatenate(parts, axis=0), gcounts
 
     def cleanup(self) -> None:
+        self._close_fhs()
         for p in self.paths:
             if os.path.exists(p):
                 os.remove(p)
