@@ -88,7 +88,8 @@ def child_main():
     )
 
     from megahit_tpu.core.pallas_kernels import (
-        canonical_all_kmers_pallas, narrow_tail_plane)
+        canonical_all_kmers_pallas, count_sorted_runs_pallas,
+        narrow_tail_plane)
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -107,11 +108,17 @@ def child_main():
             out2 = jax.lax.sort(ops2, num_keys=len(ops2),
                                 is_stable=False, dimension=1)
             out = tuple(o.reshape(-1) for o in out2)
-        else:
-            keys = kmerops.extract_all_kmers(packed, k1)
-            canon, _ = kmerops.canonical_kmers(keys, k1)
-            skeys = kmerops.sort_keys_with_payload(canon)[0]
-            out = tuple(skeys[:, i] for i in range(skeys.shape[1]))
+            # fused Pallas run count - the production device counter's
+            # kernel (_count_device_fused). Round 2 kept the jnp count
+            # because XLA fused it into the (then-slow global) sort
+            # epilogue; with the batched short-run sort the tradeoff
+            # flips: 7.15 -> 4.41 ms/step measured round 4
+            head, counts = count_sorted_runs_pallas(out, jnp.int32(0))
+            return out[0], counts, head
+        keys = kmerops.extract_all_kmers(packed, k1)
+        canon, _ = kmerops.canonical_kmers(keys, k1)
+        skeys = kmerops.sort_keys_with_payload(canon)[0]
+        out = tuple(skeys[:, i] for i in range(skeys.shape[1]))
         # SoA run-count: no (N, W) stack materialization
         head, counts = kmerops.count_sorted_runs_soa(
             out, jnp.ones(out[0].shape[0], dtype=bool)
