@@ -379,10 +379,13 @@ def make_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("dumpversion").set_defaults(fn=cmd_dumpversion)
     sub.add_parser("kmax").set_defaults(fn=cmd_kmax)
-    cc = sub.add_parser("checkcpu")
-    cc.add_argument("--deadline", type=float, default=60.0,
-                    help="accelerator probe deadline (s)")
-    cc.set_defaults(fn=cmd_checkcpu)
+    # reference mux also exposes checkpopcnt/checkbmi2 (main.cpp:43-66);
+    # hardware acceleration here is the device+native probe either way
+    for name in ("checkcpu", "checkpopcnt", "checkbmi2"):
+        cc = sub.add_parser(name)
+        cc.add_argument("--deadline", type=float, default=60.0,
+                        help="accelerator probe deadline (s)")
+        cc.set_defaults(fn=cmd_checkcpu)
     return p
 
 
