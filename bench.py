@@ -214,15 +214,19 @@ def parent_main() -> int:
     # every live attempt failed: emit a diagnostic line so the driver
     # records SOMETHING parseable rather than rc=124/no output
     last = _last_good()
+    # contract fields carry 0.0 so a stale number can never be read as
+    # a live measurement; the last-good value rides only in the note
     diag = {
         "metric": "sdbg_count_throughput",
-        "value": last["value"] if last else 0.0,
+        "value": 0.0,
         "unit": "bp/s",
-        "vs_baseline": last["vs_baseline"] if last else 0.0,
+        "vs_baseline": 0.0,
         "measured_live": False,
-        "note": ("TPU tunnel unreachable within deadlines; value is "
-                 f"the last successful measurement ({last['utc']}) "
-                 "from .bench_history.jsonl" if last else
+        "last_good_value": last["value"] if last else None,
+        "last_good_vs_baseline": last["vs_baseline"] if last else None,
+        "note": ("TPU tunnel unreachable within deadlines; last "
+                 f"successful measurement was {last['value']:.3g} bp/s "
+                 f"({last['utc']}, .bench_history.jsonl)" if last else
                  "TPU tunnel unreachable and no prior measurement"),
         "errors": attempts,
     }

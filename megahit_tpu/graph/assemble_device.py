@@ -25,9 +25,14 @@ CPU backend):
 - tie-breaks in the mark kernels use the same canonical EDGE ids
   (min(ref_rank[start], ref_rank[rc_start])) as the host passes.
 
-Precision note: per-chain depth accumulates in float32 on device
-(jax x64 is disabled); sums are exact below 2^24, far above any
-unitig's total multiplicity in practice. The host path uses int64.
+Precision note: per-chain depth accumulates and is stored in int32 on
+device (jax x64 is disabled); sums are exact below 2^31. Per-edge mult
+caps at KMAX_MUL=65535, so overflow needs a single chain with >2^15
+max-mult edges; pipeline.assemble guards the sound sufficient condition
+(total valid multiplicity < 2^31 implies every partial chain sum fits)
+and falls back to host cleaning otherwise. Mark kernels cast depth to
+float32 only at the point of ratio/threshold math, matching the host
+path's float comparisons.
 """
 
 from __future__ import annotations
@@ -68,7 +73,7 @@ class DevStatic:
     nxt_link: jnp.ndarray   # (E,) i32
     rc: jnp.ndarray         # (E,) i32
     ref_rank: jnp.ndarray   # (E,) i32
-    mult: jnp.ndarray       # (E,) f32
+    mult: jnp.ndarray       # (E,) i32
     last_base: jnp.ndarray  # (E,) u8  (last char of each edge key)
     e: int                  # real edge count
     rounds: int             # pointer-doubling rounds = ceil(log2 E)
@@ -89,7 +94,7 @@ class DevState:
     start: jnp.ndarray        # (Vc,) i32
     end: jnp.ndarray          # (Vc,) i32
     length: jnp.ndarray       # (Vc,) i32
-    depth: jnp.ndarray        # (Vc,) f32 total depth
+    depth: jnp.ndarray        # (Vc,) i32 total depth (exact < 2^31)
     is_loop: jnp.ndarray      # (Vc,) bool
     is_pal: jnp.ndarray       # (Vc,) bool
     alive: jnp.ndarray        # (Vc,) bool
@@ -116,7 +121,7 @@ def _upload_static(sdbg: Sdbg) -> DevStatic:
         nxt_link=jnp.asarray(sdbg.nxt_link.astype(np.int32)),
         rc=jnp.asarray(sdbg.rc.astype(np.int32)),
         ref_rank=jnp.asarray(sdbg.ref_rank.astype(np.int32)),
-        mult=jnp.asarray(sdbg.mult.astype(np.float32)),
+        mult=jnp.asarray(sdbg.mult.astype(np.int32)),
         last_base=jnp.asarray(_last_base(sdbg.keys, sdbg.k)),
         e=e,
         rounds=max(1, int(np.ceil(np.log2(max(e, 2))))),
@@ -140,7 +145,7 @@ def _upload_state(g: UnitigGraph, vc: int) -> DevState:
         start=vpad(g.start, 0, np.int32),
         end=vpad(g.end, 0, np.int32),
         length=vpad(g.length, 0, np.int32),
-        depth=vpad(g.total_depth.astype(np.float32), 0, np.float32),
+        depth=vpad(g.total_depth.astype(np.int32), 0, np.int32),
         is_loop=vpad(g.is_loop, False, bool),
         is_pal=vpad(g.is_palindrome, False, bool),
         alive=vpad(g.alive, False, bool),
@@ -267,7 +272,7 @@ def _refresh_jit(run_start, nxt_link, rc, ref_rank, mult,
 
     seg = jnp.where(valid_new, chain_start, e)
     len_per_start = jnp.zeros(e + 1, I32).at[seg].add(1)[:e]
-    dep_per_start = jnp.zeros(e + 1, jnp.float32).at[seg].add(mult)[:e]
+    dep_per_start = jnp.zeros(e + 1, I32).at[seg].add(mult)[:e]
 
     # disconnect-adjusted old start per old slot (_reference_order)
     adj_start = jnp.where(
@@ -374,6 +379,7 @@ def _degrees(present):
 def _tips_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
                     end1, alive, length, depth, is_loop, thre, e: int):
     """cleaning.remove_tips body for one threshold."""
+    depth = depth.astype(jnp.float32)
     st = DevStatic(run_start, nxt_link, None, None, None, None, e, 0, 0)
     nbr, _, present = _nbr_tables(st, valid, vid, vstart, end0, end1,
                                   alive)
@@ -398,6 +404,7 @@ def _weak_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
                     end1, alive, depth, length, is_loop, is_pal,
                     local_ratio, e: int, vc: int):
     """cleaning.disconnect_weak_links marks."""
+    depth = depth.astype(jnp.float32)
     st = DevStatic(run_start, nxt_link, None, None, None, None, e, 0, 0)
     nbr, nstr, present = _nbr_tables(st, valid, vid, vstart, end0,
                                      end1, alive)
@@ -433,6 +440,7 @@ def _lld_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
                    min_depth, max_len, local_width, local_ratio,
                    e: int):
     """cleaning.remove_local_low_depth marks + is_changed."""
+    depth = depth.astype(jnp.float32)
     st = DevStatic(run_start, nxt_link, None, None, None, None, e, 0, 0)
     nbr, _, present = _nbr_tables(st, valid, vid, vstart, end0, end1,
                                   alive)
@@ -467,7 +475,7 @@ def _lld_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
 
 @jax.jit
 def _low_depth_marks_jit(alive, depth, length, min_depth):
-    avg = depth / jnp.maximum(length, 1)
+    avg = depth.astype(jnp.float32) / jnp.maximum(length, 1)
     remove = (avg < min_depth) & alive
     return remove, remove.sum()
 
@@ -481,6 +489,7 @@ def _bubble_shape_jit(run_start, nxt_link, rc, ref_rank, valid, vid,
     Returns per-(vertex, strand): ok, right slot, right strand, and
     the (4,) middle slots / strands / presence SORTED by the
     reference keep order (avg depth desc, canonical edge id asc)."""
+    depth = depth.astype(jnp.float32)
     st = DevStatic(run_start, nxt_link, None, None, None, None, e, 0, 0)
     nbr, nstr, present = _nbr_tables(st, valid, vid, vstart, end0,
                                      end1, alive)

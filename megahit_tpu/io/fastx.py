@@ -185,18 +185,33 @@ def _raw_chunks(path: str, chunk: int = 16 << 20):
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that aborts when the consumer has gone away, so an
+        # early generator close (e.g. malformed input breaking the parse
+        # loop) can't leave this thread blocked on a full queue and the
+        # finally-join deadlocked.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def reader():
         try:
             with _open_bulk(path) as fh:
-                while True:
+                while not stop.is_set():
                     data = fh.read(chunk)
                     if not data:
                         break
-                    q.put(bytes(data))
-            q.put(None)
+                    if not _put(bytes(data)):
+                        return
+            _put(None)
         except BaseException as e:  # surfaced by the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
@@ -209,6 +224,7 @@ def _raw_chunks(path: str, chunk: int = 16 << 20):
                 break
             yield item
     finally:
+        stop.set()
         t.join()
 
 

@@ -265,16 +265,18 @@ def map_reads(
     # lead with a multiplicative hash of the key to give the MSD pass
     # a uniform top byte; words 1-3 carry the full original key (ka <
     # 2^32: rid<<1|strand), so equal rows <=> equal candidates exactly
-    ka32 = (ka & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    kbh = (kb >> np.uint64(32)).astype(np.uint32)
-    kbl = (kb & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    rows4 = np.empty((len(ka), 4), np.uint32)
-    rows4[:, 0] = (ka32 * np.uint32(2654435761)) ^ (
-        kbl * np.uint32(0x9E3779B9))
-    rows4[:, 1] = ka32
-    rows4[:, 2] = kbh
-    rows4[:, 3] = kbl
-    order = _native_argsort_rows(rows4)
+    order = None
+    if ka.max(initial=0) < (1 << 32):  # ka32 below must be lossless
+        ka32 = (ka & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        kbh = (kb >> np.uint64(32)).astype(np.uint32)
+        kbl = (kb & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        rows4 = np.empty((len(ka), 4), np.uint32)
+        rows4[:, 0] = (ka32 * np.uint32(2654435761)) ^ (
+            kbl * np.uint32(0x9E3779B9))
+        rows4[:, 1] = ka32
+        rows4[:, 2] = kbh
+        rows4[:, 3] = kbl
+        order = _native_argsort_rows(rows4)
     if order is None:
         order = np.lexsort((kb, ka))
     kas, kbs = ka[order], kb[order]

@@ -445,8 +445,11 @@ extern "C" {
 // (kmerops.ref_order_keys).
 void transform_rows(const uint32_t* keys, int64_t n, int k, int W,
                     int op, uint32_t* out, int n_threads) {
-  if (W > 16) {  // transform_range uses uint32_t[16] row buffers
-    for (int64_t i = 0; i < n * W; ++i) out[i] = keys[i];
+  if (W > 16) {  // transform_range uses uint32_t[16] row buffers.
+    // Unsupported: zero the output so a direct C caller cannot
+    // mistake untransformed keys for a result (the Python wrapper
+    // returns None for W > 16 before ever calling in here).
+    for (int64_t i = 0; i < n * W; ++i) out[i] = 0;
     return;
   }
   par_ranges(n, n_threads, [&](int64_t lo, int64_t hi) {

@@ -123,7 +123,20 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
 
     from ..graph.assemble_device import DeviceCleaner, use_device_cleaning
 
-    if use_device_cleaning() and g.size:
+    use_device = use_device_cleaning() and g.size > 0
+    if use_device:
+        # Device depth accumulates in int32; exact iff every per-chain
+        # multiplicity sum < 2^31. Sufficient sound bound: the total
+        # valid multiplicity (every chain is a subset of the edge set).
+        total_mult = int(np.sum(sdbg.mult, dtype=np.int64,
+                                where=sdbg.valid[: sdbg.mult.shape[0]]))
+        if total_mult >= 2 ** 31:
+            log.warning(
+                "total edge multiplicity %d >= 2^31: device depth sums "
+                "could overflow int32; falling back to host cleaning "
+                "to keep byte parity", total_mult)
+            use_device = False
+    if use_device:
         eng = DeviceCleaner(g)
         log.info("cleaning on device (%s backend)",
                  __import__("jax").default_backend())

@@ -260,23 +260,19 @@ def cmd_kmax(args) -> int:
     return 0
 
 
-def cmd_checkcpu(args) -> int:
-    """Print 1 if hardware acceleration is usable, else 0.
-
-    The reference's `checkcpu` probes POPCNT/BMI2 (src/main.cpp:43-66,
-    src/utils/cpu_dispatch.h); the TPU-native analogue probes (a) that
-    an accelerator jax backend initializes within a hard deadline (the
-    tunneled device can hang, so the probe runs in a subprocess) and
-    (b) that the native host cores build. Details go to stderr; the
-    1/0 verdict on stdout mirrors the reference's driver contract."""
+def _probe_accelerator(deadline: float) -> bool:
+    """True iff an accelerator jax backend initializes AND runs a jit
+    within the deadline. The tunneled device can hang, so the probe
+    runs in a subprocess with a hard timeout."""
     import subprocess as sp
 
-    from .native import native_status
-
-    nat = native_status()
-    print(f"native cores: {nat}", file=sys.stderr)
     probe = (
-        "import jax\n"
+        "import os, jax\n"
+        # the axon sitecustomize overrides the JAX_PLATFORMS env var;
+        # re-apply it so a forced-cpu environment stays forced (same
+        # contract as __graft_entry__)
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
         "d = jax.devices()\n"
         "import jax.numpy as jnp, numpy as np\n"
         "v = np.asarray(jax.jit(lambda a: a.sum())(jnp.arange(8)))\n"
@@ -284,16 +280,44 @@ def cmd_checkcpu(args) -> int:
     )
     try:
         r = sp.run([sys.executable, "-c", probe], capture_output=True,
-                   timeout=args.deadline, text=True)
+                   timeout=deadline, text=True)
         plat = r.stdout.strip().splitlines()[-1] if r.stdout else ""
         ok = r.returncode == 0 and plat not in ("", "cpu")
         print(f"accelerator probe: rc={r.returncode} "
               f"platform={plat or '?'}", file=sys.stderr)
+        return ok
     except sp.TimeoutExpired:
-        ok = False
-        print(f"accelerator probe: timed out after {args.deadline}s",
+        print(f"accelerator probe: timed out after {deadline}s",
               file=sys.stderr)
-    print(1 if ok and all(nat.values()) else 0)
+        return False
+
+
+def cmd_checkcpu(args) -> int:
+    """Print 1 if accelerator dispatch is usable, else 0.
+
+    The reference's `checkcpu` gates ONLY hardware-accel dispatch
+    (src/main.cpp:43-66, src/utils/cpu_dispatch.h) - a CPU-only
+    install is healthy, it just dispatches the portable path. The
+    TPU-native analogue therefore reports only the accelerator
+    backend here; native host-core health has its own surface,
+    `checknative` (a healthy CPU-only install prints checkcpu=0,
+    checknative=1; a broken install prints checknative=0)."""
+    from .native import native_status
+
+    print(f"native cores: {native_status()}", file=sys.stderr)
+    ok = _probe_accelerator(args.deadline)
+    print(1 if ok else 0)
+    return 0
+
+
+def cmd_checknative(args) -> int:
+    """Print 1 if every native host core builds/loads, else 0.
+    Per-core detail goes to stderr."""
+    from .native import native_status
+
+    nat = native_status()
+    print(f"native cores: {nat}", file=sys.stderr)
+    print(1 if nat and all(nat.values()) else 0)
     return 0
 
 
@@ -380,12 +404,14 @@ def make_parser() -> argparse.ArgumentParser:
     sub.add_parser("dumpversion").set_defaults(fn=cmd_dumpversion)
     sub.add_parser("kmax").set_defaults(fn=cmd_kmax)
     # reference mux also exposes checkpopcnt/checkbmi2 (main.cpp:43-66);
-    # hardware acceleration here is the device+native probe either way
+    # hardware acceleration here is the accelerator-backend probe
     for name in ("checkcpu", "checkpopcnt", "checkbmi2"):
         cc = sub.add_parser(name)
         cc.add_argument("--deadline", type=float, default=60.0,
                         help="accelerator probe deadline (s)")
         cc.set_defaults(fn=cmd_checkcpu)
+    cn = sub.add_parser("checknative")
+    cn.set_defaults(fn=cmd_checknative)
     return p
 
 
