@@ -112,9 +112,13 @@ def _split(vals: list[str]) -> list[str]:
     return out
 
 
-def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
-    """Generate a deterministic toy dataset (the analogue of the
-    reference's bundled test_data, src/megahit:582-587)."""
+def make_test_data(out_dir: str) -> dict[str, list[str]]:
+    """Generate a deterministic toy dataset mirroring the reference's
+    bundled test_data matrix (src/megahit:582-587, test_data/): a gz
+    AND a bz2 interleaved-PE lib, a plain PE lib, an SE lib, a loop
+    (circular) genome lib, and an empty lib - so one `--test` run
+    exercises every input format and lib type."""
+    import bz2
     import gzip
 
     import numpy as np
@@ -124,17 +128,61 @@ def make_test_data(out_dir: str) -> tuple[list[str], list[str]]:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(20240801)
     genome = rng.integers(0, 4, size=6000).astype(np.uint8)
-    p1 = os.path.join(out_dir, "test_r1.fa.gz")
-    p2 = os.path.join(out_dir, "test_r2.fa.gz")
     insert, rl = 300, 100
-    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
-        for i, s in enumerate(range(0, len(genome) - insert, 3)):
+
+    def pairs(start_phase: int, step: int):
+        for i, s in enumerate(range(start_phase,
+                                    len(genome) - insert, step)):
             frag = genome[s : s + insert]
-            r1 = frag[:rl]
-            r2 = packing.revcomp_codes(frag[-rl:])
-            f1.write(f">r{i}/1\n{packing.decode(r1)}\n")
-            f2.write(f">r{i}/2\n{packing.decode(r2)}\n")
-    return [p1], [p2]
+            r1 = packing.decode(frag[:rl])
+            r2 = packing.decode(packing.revcomp_codes(frag[-rl:]))
+            yield i, r1, r2
+
+    # interleaved PE, one gz + one bz2 (reference r1.il.fa.gz /
+    # r2.il.fa.bz2)
+    il_gz = os.path.join(out_dir, "test_il1.fa.gz")
+    with gzip.open(il_gz, "wt") as f:
+        for i, r1, r2 in pairs(0, 6):
+            f.write(f">il1_{i}/1\n{r1}\n>il1_{i}/2\n{r2}\n")
+    il_bz2 = os.path.join(out_dir, "test_il2.fa.bz2")
+    with bz2.open(il_bz2, "wt") as f:
+        for i, r1, r2 in pairs(2, 6):
+            f.write(f">il2_{i}/1\n{r1}\n>il2_{i}/2\n{r2}\n")
+
+    # plain PE (reference r3_1.fa / r3_2.fa)
+    p1 = os.path.join(out_dir, "test_r1.fa")
+    p2 = os.path.join(out_dir, "test_r2.fa")
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i, r1, r2 in pairs(4, 6):
+            f1.write(f">pe_{i}/1\n{r1}\n")
+            f2.write(f">pe_{i}/2\n{r2}\n")
+
+    # SE reads (reference r4.fa)
+    se = os.path.join(out_dir, "test_se.fa")
+    with open(se, "w") as f:
+        for i, s in enumerate(range(1, len(genome) - rl, 7)):
+            f.write(f">se_{i}\n"
+                    f"{packing.decode(genome[s : s + rl])}\n")
+
+    # circular genome fed as long sequences (reference loop.fa: the
+    # loop genome itself, two rotations, as an SE lib)
+    loop = rng.integers(0, 4, size=550).astype(np.uint8)
+    loop_fa = os.path.join(out_dir, "test_loop.fa")
+    doubled = np.concatenate([loop, loop])
+    with open(loop_fa, "w") as f:
+        f.write(f">loop_a\n{packing.decode(doubled[:700])}\n")
+        f.write(f">loop_b\n{packing.decode(doubled[275:975])}\n")
+
+    # empty lib (reference test_data/empty.fa)
+    empty = os.path.join(out_dir, "test_empty.fa")
+    open(empty, "w").close()
+
+    return {
+        "pe12": [il_gz, il_bz2],
+        "pe1": [p1],
+        "pe2": [p2],
+        "se": [se, loop_fa, empty],
+    }
 
 
 def main(argv=None) -> int:
@@ -231,9 +279,9 @@ def main(argv=None) -> int:
     opt.merge_len, opt.merge_similar = int(ml[0]), float(ml[1])
 
     if args.test_mode:
-        opt.pe1, opt.pe2 = make_test_data(
-            os.path.join(args.out_dir, "test_data")
-        )
+        libs = make_test_data(os.path.join(args.out_dir, "test_data"))
+        opt.pe12, opt.pe1 = libs["pe12"], libs["pe1"]
+        opt.pe2, opt.se = libs["pe2"], libs["se"]
         if args.k_list is None:
             opt.k_list = [21, 39, 59, 79]
             opt.auto_k = False

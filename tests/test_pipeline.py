@@ -93,11 +93,22 @@ def test_continue_resumes(tmp_path):
 
 
 def test_test_mode(tmp_path):
+    """--test runs the reference's full fixture matrix in one
+    invocation (src/megahit:582-587, test_data/): gz + bz2 interleaved
+    PE, plain PE, SE, a loop genome and an empty lib."""
     out = str(tmp_path / "out")
     assert main(["--test", "-o", out, "--no-local"]) == 0
     assert os.path.exists(os.path.join(out, "done"))
+    gen = sorted(os.listdir(os.path.join(out, "test_data")))
+    assert gen == ["test_empty.fa", "test_il1.fa.gz",
+                   "test_il2.fa.bz2", "test_loop.fa", "test_r1.fa",
+                   "test_r2.fa", "test_se.fa"]
     finals = read_contigs(os.path.join(out, "final.contigs.fa"))
-    assert len(finals) == 1 and finals[0].length > 5900
+    assert len(finals) == 2
+    finals.sort(key=lambda c: -c.length)
+    assert finals[0].length > 5900          # linear toy genome
+    assert finals[1].flag == 3              # loop contig from loop lib
+    assert 540 <= finals[1].length <= 650
 
 
 def test_tmp_dir_version_and_deprecated_flags(tmp_path, capsys):
