@@ -381,6 +381,61 @@ def _use_bucket_sort(mesh) -> bool:
 _MIN_RUN = 512
 
 
+def _extract_bits8(word_col: np.ndarray, bit_off: int) -> np.ndarray:
+    """Bits [bit_off, bit_off+8) of each row's bitstream, given the
+    column holding them (bit_off % 32 is always a multiple of 8 here,
+    so the byte never straddles words)."""
+    sh = 24 - (bit_off % 32)
+    return ((word_col >> np.uint32(sh)) & np.uint32(0xFF)).astype(
+        np.int64)
+
+
+def _refine_grouped(rows: np.ndarray, counts: np.ndarray, target: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Split groups with > target rows by successive 8-bit extensions
+    of the row prefix - the sub-16-bit analogue of the reference's
+    re-splitting of oversized buckets (base_engine.cpp:231-281) - so
+    the batched sort's run length stays at the bench shape instead of
+    being dictated by the largest 16-bit bucket.
+
+    Refinement may use ANY row bits (including the trailing mult/aux
+    word): groups stay in row-prefix order and rows in different
+    groups compare by that prefix, so per-group sorts still
+    concatenate to the global lexicographic order. Groups still over
+    target after ALL 32*C bits are runs of IDENTICAL rows - already
+    sorted by definition; the caller splices them past the device
+    sort. Permutes `rows` in place (callers treat the input as
+    consumed); returns (rows, refined_counts)."""
+    c = rows.shape[1]
+    counts = counts[counts > 0].astype(np.int64)
+    bit_off = 16
+    max_bits = 32 * c
+    while int(counts.max(initial=0)) > target and bit_off < max_bits:
+        big = np.flatnonzero(counts > target)
+        starts = np.cumsum(counts) - counts
+        seg = counts[big]
+        idx = np.repeat(starts[big], seg) + _concat_aranges(seg)
+        sub = _extract_bits8(rows[idx, bit_off // 32], bit_off)
+        comp = np.repeat(
+            np.arange(len(big), dtype=np.int64) * 256, seg) + sub
+        perm = np.argsort(comp, kind="stable")  # radix on ints
+        rows[idx] = rows[idx][perm]
+        subcounts = np.bincount(
+            comp, minlength=len(big) * 256).reshape(len(big), 256)
+        pieces, prev = [], 0
+        for bi, b in enumerate(big):
+            if b > prev:
+                pieces.append(counts[prev:b])
+            pieces.append(subcounts[bi])
+            prev = int(b) + 1
+        if prev < len(counts):
+            pieces.append(counts[prev:])
+        counts = np.concatenate(pieces)
+        counts = counts[counts > 0]
+        bit_off += 8
+    return rows, counts
+
+
 def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
                        mesh=None) -> np.ndarray:
     """Sort rows that arrive GROUPED by prefix bucket (contiguous
@@ -390,11 +445,17 @@ def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
     buckets are in prefix order (the reference exploits the same
     partitioning: 65,536-bucket Lv2 sorts, base_engine.h:19-21).
 
+    Buckets larger than _MIN_RUN are refined by prefix extension
+    (_refine_grouped) so production rounds sort at the _MIN_RUN run
+    shape - the shape bench.py measures - regardless of bucket skew;
+    identical-row mega-groups bypass the sort entirely.
+
     Whole buckets are packed greedily into equal-length runs (a run =
     one row of the batched lax.sort); runs are sentinel-padded at the
     tail. Measured on one v5e-lite at 16.7M x (u32,u16): global 1-D
     lax.sort 30.8 ms vs batched runs 16.2 ms (64K rows/run) - 6.6 ms
-    (4K rows/run)."""
+    (4K rows/run) - 2.6 ms (512-row runs). May permute `rows` in
+    place (callers treat the input as consumed)."""
     import jax
 
     n, c = rows.shape
@@ -402,7 +463,25 @@ def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
         return rows
     if not _use_bucket_sort(mesh):
         return _sort_rows(rows, mesh)
-    bc = bcounts[bcounts > 0]
+    bc = bcounts[bcounts > 0].astype(np.int64)
+    if int(bc.max()) > _MIN_RUN:
+        rows, bc = _refine_grouped(rows, bc, _MIN_RUN)
+    pre = bc > _MIN_RUN  # only identical-row groups can remain big
+    if pre.any():
+        starts = np.cumsum(bc) - bc
+        pre_idx = np.repeat(starts[pre], bc[pre]) + _concat_aranges(
+            bc[pre])
+        norm_mask = np.ones(n, dtype=bool)
+        norm_mask[pre_idx] = False
+        out = np.empty_like(rows)
+        out[pre_idx] = rows[pre_idx]  # identical rows: sorted as-is
+        sub = _sort_rows_grouped(
+            np.ascontiguousarray(rows[norm_mask]), bc[~pre], mesh)
+        out[norm_mask] = sub
+        get_logger().info(
+            "round sort: %d identical-row rows bypassed the sort "
+            "(%d groups)", len(pre_idx), int(pre.sum()))
+        return out
     mx = int(bc.max())
     run_len = max(_MIN_RUN, 1 << int(np.ceil(np.log2(mx))))
     if run_len >= n:
@@ -417,6 +496,9 @@ def _sort_rows_grouped(rows: np.ndarray, bcounts: np.ndarray,
         run_id[i] = rid
         acc += int(cnt)
     n_runs = rid + 1
+    get_logger().info(
+        "round sort shape: %d rows, run_len %d x %d runs "
+        "(max group %d)", n, run_len, n_runs, mx)
     run_fill = np.bincount(run_id, weights=bc,
                            minlength=n_runs).astype(np.int64)
 
