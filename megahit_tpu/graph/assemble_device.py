@@ -112,36 +112,36 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _upload_static(sdbg: Sdbg) -> DevStatic:
+def _upload_static(sdbg: Sdbg, put=jnp.asarray) -> DevStatic:
     from .output import _last_base
 
     e = sdbg.size
     return DevStatic(
-        run_start=jnp.asarray(sdbg.run_start.astype(np.int32)),
-        nxt_link=jnp.asarray(sdbg.nxt_link.astype(np.int32)),
-        rc=jnp.asarray(sdbg.rc.astype(np.int32)),
-        ref_rank=jnp.asarray(sdbg.ref_rank.astype(np.int32)),
-        mult=jnp.asarray(sdbg.mult.astype(np.int32)),
-        last_base=jnp.asarray(_last_base(sdbg.keys, sdbg.k)),
+        run_start=put(sdbg.run_start.astype(np.int32)),
+        nxt_link=put(sdbg.nxt_link.astype(np.int32)),
+        rc=put(sdbg.rc.astype(np.int32)),
+        ref_rank=put(sdbg.ref_rank.astype(np.int32)),
+        mult=put(sdbg.mult.astype(np.int32)),
+        last_base=put(_last_base(sdbg.keys, sdbg.k)),
         e=e,
         rounds=max(1, int(np.ceil(np.log2(max(e, 2))))),
         k=sdbg.k,
     )
 
 
-def _upload_state(g: UnitigGraph, vc: int) -> DevState:
+def _upload_state(g: UnitigGraph, vc: int, put=jnp.asarray) -> DevState:
     def vpad(a, fill, dtype):
         out = np.full(vc, fill, dtype)
         out[: g.size] = a
-        return jnp.asarray(out)
+        return put(out)
 
     return DevState(
-        valid=jnp.asarray(g.sdbg.valid),
-        vid=jnp.asarray(g.vid.astype(np.int32)),
-        nxt=jnp.asarray(g.nxt.astype(np.int32)),
-        prv=jnp.asarray(g.prv.astype(np.int32)),
-        chain_start=jnp.asarray(g.chain_start.astype(np.int32)),
-        edge_pos=jnp.asarray(g.edge_pos.astype(np.int32)),
+        valid=put(np.asarray(g.sdbg.valid)),
+        vid=put(g.vid.astype(np.int32)),
+        nxt=put(g.nxt.astype(np.int32)),
+        prv=put(g.prv.astype(np.int32)),
+        chain_start=put(g.chain_start.astype(np.int32)),
+        edge_pos=put(g.edge_pos.astype(np.int32)),
         start=vpad(g.start, 0, np.int32),
         end=vpad(g.end, 0, np.int32),
         length=vpad(g.length, 0, np.int32),
@@ -414,6 +414,12 @@ def _weak_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
     avg = depth / jnp.maximum(length, 1)
     dfwd = jnp.zeros(vc + 1, bool)
     drc = jnp.zeros(vc + 1, bool)
+    # num reproduces the HOST counting exactly (cleaning.py
+    # disconnect_weak_links): each (strand, j) batch adds its selected
+    # entries minus those whose target was already marked BEFORE the
+    # batch - duplicates within one batch count multiply, as in the
+    # host's len(targets) - before
+    num = jnp.int32(0)
     for strand in (0, 1):
         deg = outdeg[:, strand]
         act = (~skip) & (deg > 1) & alive
@@ -426,12 +432,16 @@ def _weak_marks_jit(run_start, nxt_link, valid, vid, vstart, end0,
             sel = weak[:, j]
             tgt = nbr[:, strand, j]
             ts = nstr[:, strand, j]
-            dfwd = dfwd.at[
-                jnp.where(sel & (ts == 0), tgt, vc)].set(True)
-            drc = drc.at[
-                jnp.where(sel & (ts == 1), tgt, vc)].set(True)
+            m0 = sel & (ts == 0)
+            m1 = sel & (ts == 1)
+            safe_t = jnp.maximum(tgt, 0)
+            before = (m0 & dfwd[safe_t]).sum() \
+                + (m1 & drc[safe_t]).sum()
+            num += (m0.sum() + m1.sum() - before).astype(jnp.int32)
+            dfwd = dfwd.at[jnp.where(m0, tgt, vc)].set(True)
+            drc = drc.at[jnp.where(m1, tgt, vc)].set(True)
     dfwd, drc = dfwd[:vc], drc[:vc]
-    return dfwd, drc, dfwd.sum() + drc.sum()
+    return dfwd, drc, num
 
 
 @functools.partial(jax.jit, static_argnames=("e",))
@@ -597,12 +607,37 @@ class DeviceCleaner:
     host), then every pass is device-side.
     """
 
-    def __init__(self, g: UnitigGraph):
+    def __init__(self, g: UnitigGraph, mesh=None):
         self.sdbg = g.sdbg
         self.k = g.k  # megahit-k + 1 (edge length)
         self.vc = max(16, 1 << int(np.ceil(np.log2(max(g.size, 2)))))
-        self.static = _upload_static(g.sdbg)
-        self.state = _upload_state(g, self.vc)
+        # mesh-sharded cleaning (VERDICT r4 item 1): E- and Vc-sized
+        # arrays shard over the mesh's one axis; every kernel is jit
+        # over sharded operands, so XLA's partitioner runs the
+        # elementwise mark math shard-local and inserts collectives
+        # for the cross-shard gathers/scatters (the scaling-book
+        # recipe: annotate shardings, let XLA place collectives).
+        # Depth sums are int32 scatter-adds - order-free, so results
+        # stay byte-identical to single-device execution.
+        self.mesh = None
+        if mesh is not None:
+            nd = mesh.size
+            if (nd > 1 and self.sdbg.size % nd == 0
+                    and self.vc % nd == 0 and self.sdbg.size >= nd):
+                self.mesh = mesh
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec
+
+            from ..parallel.multihost import put_global
+
+            spec = PartitionSpec(self.mesh.axis_names[0])
+
+            def put(a):
+                return put_global(np.asarray(a), self.mesh, spec)
+        else:
+            put = jnp.asarray
+        self.static = _upload_static(g.sdbg, put)
+        self.state = _upload_state(g, self.vc, put)
         self._host_graph_template = g
 
     # -- helpers ----------------------------------------------------

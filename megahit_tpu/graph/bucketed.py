@@ -601,6 +601,7 @@ def build_sdbg_bucketed(
     stats: BuildStats | None = None,
     mult_mode: str = "max",
     min_count: int = 1,
+    shard_dir: str | None = None,
 ) -> Sdbg:
     """Build the SdBG from any mix of PoolSource/EdgeSource inputs with
     a bounded in-memory working set (<= ~budget_rows rows per device
@@ -616,6 +617,12 @@ def build_sdbg_bucketed(
                 both-strand group size of edge e equals
                 occ(e) + occ(rc(e)), i.e. the canonical k-mer count,
                 so counts match the 2-pass counter exactly.
+
+    shard_dir: when set, each round's edges ALSO stream to a
+    ShardedSdbgWriter there (per-shard files + bucket manifest,
+    reference sdbg_writer.h:19-63) - rounds are bucket ranges in
+    prefix order, so the shard layout falls straight out of the
+    build; no post-hoc re-save of the whole graph is needed.
     """
     log = get_logger()
     w = kmerops.words_per_kmer(k)
@@ -655,6 +662,11 @@ def build_sdbg_bucketed(
     # pass 3 (node/rc join spills + two more sorts per round) is gone.
     all_keys = []
     all_mult = []
+    shard_writer = None
+    if shard_dir is not None:
+        from .sdbg import ShardedSdbgWriter
+
+        shard_writer = ShardedSdbgWriter(shard_dir, k)
     use_grouped = _use_bucket_sort(mesh)
 
     # prefetch each round's spill files while the previous round sorts
@@ -716,10 +728,14 @@ def build_sdbg_bucketed(
                 edges = edges[solid]
                 mult = mult[solid]
         del srows
+        if shard_writer is not None:
+            shard_writer.append(edges, np.minimum(mult, KMAX_MUL))
         all_keys.append(edges)
         all_mult.append(mult)
     ex.shutdown(wait=True)
     spill.cleanup()
+    if shard_writer is not None:
+        shard_writer.finalize()
 
     keys = np.concatenate(all_keys, axis=0) if all_keys else \
         np.zeros((0, w), np.uint32)

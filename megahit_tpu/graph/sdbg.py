@@ -412,6 +412,96 @@ class Sdbg:
             svalid = np.concatenate([svalid, np.zeros(padn, bool)])
         return cls(k=k, keys=skeys, mult=smult, valid=svalid, real=e)
 
+    # -- sharded persistence (reference SdbgWriter/SdbgMeta) --------
+
+    def save_sharded(self, dir_path: str,
+                     rows_per_shard: int = 1 << 24) -> None:
+        """Write the graph as per-shard files + a bucket manifest (the
+        mesh-scale analogue of the reference's thread-sharded writer
+        with bucket records, sdbg_writer.h:19-63, sdbg_meta.cpp:51-75).
+        Shard boundaries sit on 16-bit key-prefix bucket boundaries;
+        runs share 2(k-1) >= 16 prefix bits, so no shard ever splits a
+        navigation run - a bucket range is a self-contained subgraph
+        slice loadable via load_sharded_rows."""
+        e = self.real
+        w = ShardedSdbgWriter(dir_path, self.k,
+                              rows_per_shard=rows_per_shard)
+        step = max(rows_per_shard, 1)
+        lo = 0
+        while lo < e:
+            hi = min(e, lo + step)
+            # snap the cut to the next bucket boundary
+            if hi < e:
+                b = int(self.keys[hi - 1, 0] >> np.uint32(16))
+                while hi < e and int(
+                        self.keys[hi, 0] >> np.uint32(16)) == b:
+                    hi += 1
+            w.append(self.keys[lo:hi], self.mult[lo:hi],
+                     self.valid[lo:hi])
+            lo = hi
+        w.finalize()
+
+    @classmethod
+    def load_sharded(cls, dir_path: str) -> "Sdbg":
+        """Load a sharded graph whole (one host). For mesh loading use
+        load_sharded_rows per bucket range instead."""
+        man = _read_manifest(dir_path)
+        k = int(man["k"])
+        e = int(man["n_real"])
+        if e == 0:
+            return _make_sdbg(
+                np.zeros((0, kmerops.words_per_kmer(k)), np.uint32),
+                np.zeros(0, np.int32), k)
+        w = kmerops.words_per_kmer(k)
+        cap = _pow2_pad(max(e, 16))
+        keys = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+        mult = np.zeros(cap, np.int32)
+        valid = np.zeros(cap, bool)
+        import os
+
+        for sh in man["shards"]:
+            z = np.load(os.path.join(dir_path, sh["file"]))
+            r0, n = int(sh["row_start"]), int(sh["rows"])
+            keys[r0:r0 + n] = z["keys"]
+            mult[r0:r0 + n] = z["mult"].astype(np.int32)
+            valid[r0:r0 + n] = np.unpackbits(
+                z["valid"], count=n).astype(bool)
+        return cls(k=k, keys=keys, mult=mult, valid=valid, real=e)
+
+    @staticmethod
+    def load_sharded_rows(dir_path: str, bucket_lo: int,
+                          bucket_hi: int
+                          ) -> tuple[np.ndarray, np.ndarray,
+                                     np.ndarray, int]:
+        """Rows of 16-bit prefix buckets [bucket_lo, bucket_hi): the
+        mesh redistribution primitive - each process reads only the
+        shards overlapping its bucket range; nothing materializes the
+        whole graph. Returns (keys, mult, valid, global_row_offset)."""
+        import os
+
+        man = _read_manifest(dir_path)
+        bc = np.load(os.path.join(dir_path, man["bucket_counts"]))
+        boffs = np.zeros(len(bc) + 1, np.int64)
+        np.cumsum(bc, out=boffs[1:])
+        want_lo, want_hi = int(boffs[bucket_lo]), int(boffs[bucket_hi])
+        w = kmerops.words_per_kmer(int(man["k"]))
+        keys = np.empty((want_hi - want_lo, w), np.uint32)
+        mult = np.empty(want_hi - want_lo, np.int32)
+        valid = np.empty(want_hi - want_lo, bool)
+        for sh in man["shards"]:
+            r0, n = int(sh["row_start"]), int(sh["rows"])
+            lo = max(r0, want_lo)
+            hi = min(r0 + n, want_hi)
+            if lo >= hi:
+                continue
+            z = np.load(os.path.join(dir_path, sh["file"]))
+            keys[lo - want_lo:hi - want_lo] = z["keys"][lo - r0:hi - r0]
+            mult[lo - want_lo:hi - want_lo] = \
+                z["mult"][lo - r0:hi - r0].astype(np.int32)
+            valid[lo - want_lo:hi - want_lo] = np.unpackbits(
+                z["valid"], count=n).astype(bool)[lo - r0:hi - r0]
+        return keys, mult, valid, want_lo
+
     def invalidate(self, mask: np.ndarray) -> None:
         """Invalidate edges in `mask` AND their reverse complements,
         keeping validity rc-symmetric (the reference walks both strands
@@ -439,6 +529,111 @@ class Sdbg:
 # ---------------------------------------------------------------------------
 # navigation core derivation (round 3)
 # ---------------------------------------------------------------------------
+
+
+_MANIFEST_NAME = "sdbg_manifest.json"
+
+
+def _read_manifest(dir_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(dir_path, _MANIFEST_NAME)) as fh:
+        return json.load(fh)
+
+
+class ShardedSdbgWriter:
+    """Per-shard graph files + a bucket manifest - the mesh-scale
+    analogue of the reference's thread-sharded SdbgWriter whose
+    SdbgMeta bucket records enable streamed, merged loading
+    (sdbg_writer.h:19-63, sdbg_meta.cpp:51-75).
+
+    Rows must arrive in globally sorted order, each append starting on
+    a 16-bit key-prefix bucket boundary (the bucketed builder's rounds
+    are bucket ranges in prefix order, so appending one round at a
+    time satisfies this). A shard flushes once it holds at least
+    rows_per_shard rows; flushes happen only at append boundaries, so
+    shard boundaries are bucket boundaries and a bucket range is a
+    self-contained slice (load_sharded_rows). Mesh builds can write
+    their own shards: every process runs its own writer over its
+    bucket ranges and the manifests merge by row offsets."""
+
+    def __init__(self, dir_path: str, k: int,
+                 rows_per_shard: int = 1 << 24):
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        self.dir = dir_path
+        self.k = int(k)
+        self.rows_per_shard = int(rows_per_shard)
+        self._pend_keys: list[np.ndarray] = []
+        self._pend_mult: list[np.ndarray] = []
+        self._pend_valid: list[np.ndarray] = []
+        self._pend_rows = 0
+        self._row_off = 0
+        self._shards: list[dict] = []
+        self._bucket_counts = np.zeros(65536, np.int64)
+        self._done = False
+
+    def append(self, keys: np.ndarray, mult: np.ndarray,
+               valid: np.ndarray | None = None) -> None:
+        n = len(keys)
+        if n == 0:
+            return
+        if valid is None:
+            valid = np.ones(n, dtype=bool)
+        b16 = (keys[:, 0] >> np.uint32(16)).astype(np.int64)
+        self._bucket_counts += np.bincount(b16, minlength=65536)
+        self._pend_keys.append(np.ascontiguousarray(keys))
+        self._pend_mult.append(
+            np.asarray(mult, dtype=np.uint16))
+        self._pend_valid.append(np.asarray(valid, dtype=bool))
+        self._pend_rows += n
+        if self._pend_rows >= self.rows_per_shard:
+            self._flush()
+
+    def _flush(self) -> None:
+        import os
+
+        if self._pend_rows == 0:
+            return
+        keys = np.concatenate(self._pend_keys, axis=0)
+        mult = np.concatenate(self._pend_mult)
+        valid = np.concatenate(self._pend_valid)
+        i = len(self._shards)
+        name = f"sdbg.shard.{i:05d}.npz"
+        np.savez(os.path.join(self.dir, name), keys=keys, mult=mult,
+                 valid=np.packbits(valid))
+        self._shards.append({
+            "file": name,
+            "rows": int(len(keys)),
+            "row_start": int(self._row_off),
+            "bucket_lo": int(keys[0, 0] >> np.uint32(16)),
+            "bucket_hi": int(keys[-1, 0] >> np.uint32(16)) + 1,
+        })
+        self._row_off += len(keys)
+        self._pend_keys, self._pend_mult, self._pend_valid = [], [], []
+        self._pend_rows = 0
+
+    def finalize(self) -> None:
+        import json
+        import os
+
+        if self._done:
+            return
+        self._flush()
+        np.save(os.path.join(self.dir, "bucket_counts.npy"),
+                self._bucket_counts)
+        man = {
+            "format": "sharded-v1",
+            "k": self.k,
+            "n_real": int(self._row_off),
+            "bucket_counts": "bucket_counts.npy",
+            "shards": self._shards,
+        }
+        with open(os.path.join(self.dir, _MANIFEST_NAME), "w") as fh:
+            json.dump(man, fh, indent=1)
+        self._done = True
 
 
 def _run4(starts: np.ndarray, run_start: np.ndarray, real: int

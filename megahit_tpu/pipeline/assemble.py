@@ -38,6 +38,7 @@ class AssembleOptions:
     cleaning_rounds: int = 5
     output_standalone: bool = False
     careful_bubble: bool = False
+    use_mesh: bool = False  # shard device cleaning over the mesh
 
 
 @dataclass
@@ -137,9 +138,17 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
                 "to keep byte parity", total_mult)
             use_device = False
     if use_device:
-        eng = DeviceCleaner(g)
-        log.info("cleaning on device (%s backend)",
-                 __import__("jax").default_backend())
+        mesh = None
+        if opt.use_mesh:
+            from ..parallel.multihost import global_shard_mesh
+
+            mesh = global_shard_mesh()
+        eng = DeviceCleaner(g, mesh=mesh)
+        log.info(
+            "cleaning on device (%s backend%s)",
+            __import__("jax").default_backend(),
+            f", {eng.mesh.size}-device mesh" if eng.mesh is not None
+            else "")
     else:
         eng = _HostEngine(g)
 

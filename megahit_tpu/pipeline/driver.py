@@ -320,6 +320,7 @@ class Pipeline:
             is_final_round=(k == o.k_max),
             careful_bubble=(k < o.k_max),
             output_standalone=o.no_local,
+            use_mesh=o.use_mesh,
         )
         if o.max_tip_len == -1 and k * 3 - 1 > o.min_contig_len * 1.5:
             aopt.max_tip_len = max(1, int(o.min_contig_len * 1.5 + 1 - k))
