@@ -259,7 +259,7 @@ class EdgeSource:
 
 
 def _spill_pool(spill: SpillSet, src: PoolSource, k: int,
-                batch_windows: int) -> int:
+                batch_windows: int, unit: bool = False) -> int:
     """Stream-extract all window rows of a pool into the spill set.
     FULLY windowed: only one chunk of packed words / validity / mults
     is ever resident, so the pass handles pools larger than RAM
@@ -295,14 +295,22 @@ def _spill_pool(spill: SpillSet, src: PoolSource, k: int,
             vm = window_valid_range(src.starts, k, lo, lo + span)
             fwd_c = fwd[:span][vm]
             rc_c = np_revcomp(fwd_c, k)
-            posv = np.flatnonzero(vm) + lo
-            si = np.searchsorted(src.starts, posv, side="right") - 1
-            mm = mults[si].astype(np.uint32)
-            rows = np.empty((2 * len(fwd_c), w + 1), np.uint32)
-            rows[: len(fwd_c), :w] = fwd_c
-            rows[len(fwd_c):, :w] = rc_c
-            rows[: len(fwd_c), w] = mm
-            rows[len(fwd_c):, w] = mm
+            if unit:
+                # every window contributes multiplicity 1: no mult
+                # word is spilled (dedup counts group sizes instead)
+                rows = np.empty((2 * len(fwd_c), w), np.uint32)
+                rows[: len(fwd_c)] = fwd_c
+                rows[len(fwd_c):] = rc_c
+            else:
+                posv = np.flatnonzero(vm) + lo
+                si = np.searchsorted(src.starts, posv,
+                                     side="right") - 1
+                mm = mults[si].astype(np.uint32)
+                rows = np.empty((2 * len(fwd_c), w + 1), np.uint32)
+                rows[: len(fwd_c), :w] = fwd_c
+                rows[len(fwd_c):, :w] = rc_c
+                rows[: len(fwd_c), w] = mm
+                rows[len(fwd_c):, w] = mm
             if pending is not None:
                 pending.result()
             pending = ex.submit(spill.append, rows)
@@ -545,6 +553,25 @@ def _concat_aranges(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
+def _halve_palindromes(edges: np.ndarray, sums: np.ndarray, k: int
+                       ) -> np.ndarray:
+    """Palindromic keys (possible: the edge length k is even) received
+    BOTH strand rows of each window into ONE group, so their window
+    count arrived doubled; the reference counter counts each canonical
+    window once (kmer_counter.cpp:137-144). Cheap prefilter: a
+    palindrome's first base must complement its last. Mutates and
+    returns sums."""
+    first_b = edges[:, 0] >> np.uint32(30)
+    lw, sh = (k - 1) >> 4, 30 - 2 * ((k - 1) & 15)
+    last_b = (edges[:, lw] >> np.uint32(sh)) & np.uint32(3)
+    cand = np.flatnonzero(first_b == np.uint32(3) - last_b)
+    if len(cand):
+        rcc = np_revcomp(edges[cand], k)
+        pal = cand[(rcc == edges[cand]).all(axis=1)]
+        sums[pal] >>= 1
+    return sums
+
+
 def _fine_bucket_counts(sorted_word0: np.ndarray, lo: int, hi: int
                         ) -> np.ndarray:
     """Per-16-bit-prefix-bucket counts of an ALREADY sorted array
@@ -628,12 +655,28 @@ def build_sdbg_bucketed(
     w = kmerops.words_per_kmer(k)
     st = stats if stats is not None else BuildStats()
 
+    # unit-multiplicity fast path: every contribution is 1 (read
+    # windows in count mode), so the mult word is never spilled -
+    # 1/(w+1) less spill I/O and one less sort word; dedup counts
+    # group sizes instead. Requires k % 16 != 0 so real keys always
+    # have zero pad bits in the last word and sort strictly below the
+    # all-ones sentinel rows.
+    unit = (
+        mult_mode == "count"
+        and k % 16 != 0
+        and all(isinstance(s, PoolSource)
+                and bool(np.all(np.asarray(s.mults) == 1))
+                for s in sources)
+    )
+    row_words = w if unit else w + 1
+
     # ---- pass 1: spill the window multiset, bucketed by key prefix
-    spill = SpillSet(spill_dir, "edges", w + 1)
+    spill = SpillSet(spill_dir, "edges", row_words)
     total = 0
     for src in sources:
         if isinstance(src, PoolSource):
-            total += _spill_pool(spill, src, k, batch_windows)
+            total += _spill_pool(spill, src, k, batch_windows,
+                                 unit=unit)
         elif isinstance(src, EdgeSource):
             total += _spill_edges(spill, src, k)
         else:
@@ -700,7 +743,19 @@ def build_sdbg_bucketed(
         tail[:-1] = head[1:]
         tail[-1] = True
         edges = np.ascontiguousarray(keys[tail])
-        if mult_mode == "max":
+        if unit:
+            # group sizes ARE the sums (every contribution is 1)
+            idx = np.flatnonzero(tail)
+            sums = np.empty(len(idx), dtype=np.int64)
+            sums[0] = idx[0] + 1
+            np.subtract(idx[1:], idx[:-1], out=sums[1:])
+            sums = _halve_palindromes(edges, sums, k)
+            mult = np.minimum(sums, KMAX_MUL).astype(np.int32)
+            if min_count > 1:
+                solid = sums >= min_count
+                edges = edges[solid]
+                mult = mult[solid]
+        elif mult_mode == "max":
             # mult is the LAST sort word, so the tail row is the max
             mult = np.minimum(srows[tail, w], KMAX_MUL).astype(np.int32)
         else:
@@ -708,20 +763,7 @@ def build_sdbg_bucketed(
             cs = np.cumsum(srows[:, w], dtype=np.int64)
             tails = cs[tail]
             sums = np.diff(np.concatenate([[0], tails]))
-            # palindromic keys (possible: the edge length k is even)
-            # received BOTH strand rows of each window into ONE group,
-            # so their window count arrived doubled; the reference
-            # counter counts each canonical window once
-            # (kmer_counter.cpp:137-144). Cheap prefilter: a
-            # palindrome's first base must complement its last.
-            first_b = edges[:, 0] >> np.uint32(30)
-            lw, sh = (k - 1) >> 4, 30 - 2 * ((k - 1) & 15)
-            last_b = (edges[:, lw] >> np.uint32(sh)) & np.uint32(3)
-            cand = np.flatnonzero(first_b == np.uint32(3) - last_b)
-            if len(cand):
-                rcc = np_revcomp(edges[cand], k)
-                pal = cand[(rcc == edges[cand]).all(axis=1)]
-                sums[pal] >>= 1
+            sums = _halve_palindromes(edges, sums, k)
             mult = np.minimum(sums, KMAX_MUL).astype(np.int32)
             if min_count > 1:
                 solid = sums >= min_count

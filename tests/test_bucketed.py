@@ -472,3 +472,43 @@ def test_sort_rows_grouped_refined_matches_global():
     finally:
         os.environ.pop("MEGAHIT_TPU_BUCKET_SORT")
     np.testing.assert_array_equal(out, ref)
+
+
+def test_unit_mult_spill_path_identical(tmp_path):
+    """Unit-multiplicity fast path (no mult word spilled) is
+    byte-identical to the general count path on the same multiset."""
+    flat, starts = _random_pool(60, 120)
+    ones = np.ones(60, np.int32)
+    w = 2  # k=22
+    src_unit = [bk.PoolSource(flat, starts, ones)]
+    # an empty EdgeSource disables the unit path without changing the
+    # multiset
+    src_gen = [bk.PoolSource(flat, starts, ones),
+               bk.EdgeSource(np.zeros((0, w), np.uint32),
+                             np.zeros(0, np.int32))]
+    for mc in (1, 2):
+        a = bk.build_sdbg_bucketed(
+            src_unit, 22, 4096, str(tmp_path / f"u{mc}"),
+            min_count=mc, mult_mode="count")
+        b = bk.build_sdbg_bucketed(
+            src_gen, 22, 4096, str(tmp_path / f"g{mc}"),
+            min_count=mc, mult_mode="count")
+        assert a.real == b.real
+        np.testing.assert_array_equal(a.keys[:a.real], b.keys[:b.real])
+        np.testing.assert_array_equal(a.mult[:a.real], b.mult[:b.real])
+
+
+def test_unit_mult_disabled_at_16_multiple_k(tmp_path):
+    """k % 16 == 0 keeps the mult word (all-ones keys would collide
+    with the sort sentinel otherwise) and still builds correctly."""
+    flat, starts = _random_pool(40, 120)
+    ones = np.ones(40, np.int32)
+    src = [bk.PoolSource(flat, starts, ones)]
+    sdbg = bk.build_sdbg_bucketed(
+        src, 32, 4096, str(tmp_path / "k32"),
+        min_count=1, mult_mode="count")
+    ref = _reference_build(src, 32)
+    np.testing.assert_array_equal(
+        sdbg.keys[:sdbg.real], ref.keys[:ref.real])
+    np.testing.assert_array_equal(
+        sdbg.mult[:sdbg.real], ref.mult[:ref.real])

@@ -110,32 +110,35 @@ def test_weak_scaling_memory_invariant():
         assert total == n_pos
 
 
-def test_weak_scaling_cpu_time_efficiency():
-    """ASSERTED weak scaling (VERDICT round-2 item 6), on the honest
-    metric this host can measure: virtual CPU devices share one
-    physical CPU, so wall time cannot speed up - but TOTAL CPU TIME
-    per unit of work measures the sharded implementation's overhead
-    (hash routing, all_to_all, per-shard sort padding). Ideal weak
-    scaling = CPU time grows linearly with total work; efficiency at
-    N devices = N * T_cpu(1 dev, W) / T_cpu(N dev, N*W). Asserted
-    >= 0.8 for 1 -> 4 devices (BASELINE.json north star), with a
-    warm-up pass so jit compiles are excluded."""
-    import time as _t
+def test_weak_scaling_harness_runs(tmp_path):
+    """VERDICT r4 item 5: the honest multi-process weak-scaling
+    harness (scripts/weak_scaling.py - fixed per-process work over
+    jax.distributed, per-round wall + bytes shuffled + efficiency)
+    runs and emits a well-formed report. The previous CPU-time
+    assertion here reported superlinear 'efficiency', which carried no
+    information; wall-clock numbers on this shared host live in
+    RESULTS.md with their caveats, not in an assert."""
+    import json
+    import subprocess
+    import sys
 
-    per_dev = 3000  # reads per device (~300 kbp/device)
-    meas = {}
-    for n_dev in (1, 4):
-        reads = _reads(per_dev * n_dev)
-        flat, starts = packing.pack_many(reads)
-        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("shard",))
-        sharded_count_kmers(flat, starts, 22, 1, mesh)  # warm-up
-        best = np.inf
-        for _ in range(3):
-            c0 = _t.process_time()
-            sharded_count_kmers(flat, starts, 22, 1, mesh)
-            best = min(best, _t.process_time() - c0)
-        meas[n_dev] = best
-    eff = 4 * meas[1] / meas[4]
-    print(f"weak-scaling cpu-time: 1-dev {meas[1]*1e3:.0f} ms, "
-          f"4-dev {meas[4]*1e3:.0f} ms, efficiency {eff:.2f}")
-    assert eff >= 0.8, (meas, eff)
+    out = tmp_path / "ws.json"
+    r = subprocess.run(
+        [sys.executable, "scripts/weak_scaling.py", "--procs", "1,2",
+         "--reads", "300", "--reps", "1", "--out", str(out),
+         "--port", "18777"],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rep = json.load(open(out))
+    assert [s["nprocs"] for s in rep["scales"]] == [1, 2]
+    for s in rep["scales"]:
+        assert s["t_count_s"] > 0 and s["t_sort_s"] > 0
+        assert s["count_a2a_bytes_per_dev"] > 0
+        assert 0 < s["count_efficiency"]
+    # the structural invariant that IS assertable: per-device
+    # communication volume stays constant as processes double
+    a, b = (s["count_a2a_bytes_per_dev"] for s in rep["scales"])
+    assert abs(a - b) / a < 0.05, (a, b)
+    assert rep["caveats"]
