@@ -105,7 +105,14 @@ class _HostEngine:
 
 
 def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
+    import time as _time
+
     log = get_logger()
+    _t0 = _time.monotonic()
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(name: str) -> None:
+        _marks.append((name, _time.monotonic()))
     # thresholds use the megahit-level k (node length); sdbg.k is the
     # edge length = megahit k + 1
     k = sdbg.k - 1
@@ -118,9 +125,11 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
     if max_tip_len > 0:
         n = remove_tips_sdbg(sdbg, max_tip_len)
         log.info("sdbg tips removed: %d", n)
+    _mark("sdbg_tips")
 
     g = build_unitig_graph(sdbg)
     log.info("unitig graph size: %d", g.size)
+    _mark("unitig_build")
 
     from ..graph.assemble_device import DeviceCleaner, use_device_cleaning
 
@@ -201,6 +210,7 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
             log.info("excessive pruning removed: %d", n)
         if not changed:
             break
+    _mark("cleaning_rounds")
 
     contigs: list[ContigRecord] = []
     finals: list[ContigRecord] = []
@@ -235,6 +245,14 @@ def assemble(sdbg: Sdbg, opt: AssembleOptions) -> AssembleResult:
                 min_standalone=opt.min_standalone,
                 want_final=opt.output_standalone,
             )
+
+    _mark("prune_output")
+    prev = _t0
+    split = []
+    for name, t in _marks:
+        split.append(f"{name} {t - prev:.1f}s")
+        prev = t
+    log.info("assemble split: %s", ", ".join(split))
 
     bubble_contigs = [
         ContigRecord(packing.encode(s), k, 0, 0, m)

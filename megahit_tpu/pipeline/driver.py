@@ -87,6 +87,9 @@ class Pipeline:
         self.tmp_dir = self._resolve_tmp_dir(opt)
         self.contig_dir = os.path.join(opt.out_dir, "intermediate_contigs")
         self.lib: SequenceLib | None = None
+        from ..utils.timers import PhaseTimer
+
+        self.timer = PhaseTimer()  # sub-stage spans (checkpoint-free)
 
     # ---------------- paths
 
@@ -296,7 +299,8 @@ class Pipeline:
         """Load the k graph inputs, assemble, write contig files
         (reference assemble(), src/megahit:866-903)."""
         o = self.opt
-        sdbg = self._build_sdbg_for_k(k)
+        with self.timer.phase(f"assemble.k{k}.graph_build"):
+            sdbg = self._build_sdbg_for_k(k)
         if sdbg.size == 0:
             self.log.warning("k=%d: empty graph", k)
         min_standalone = max(
@@ -326,7 +330,8 @@ class Pipeline:
             aopt.max_tip_len = max(1, int(o.min_contig_len * 1.5 + 1 - k))
         else:
             aopt.max_tip_len = o.max_tip_len
-        res = assemble(sdbg, aopt)
+        with self.timer.phase(f"assemble.k{k}.clean_output"):
+            res = assemble(sdbg, aopt)
         cp = self.contig_prefix(k)
         write_contigs(cp + ".contigs.fa", res.contigs)
         write_contigs(cp + ".final.contigs.fa", res.final_contigs)
@@ -579,8 +584,8 @@ class Pipeline:
             shutil.rmtree(self.tmp_dir)
         open(os.path.join(self.out_dir, "done"), "w").close()
         # per-phase span summary (reference xinfo timer lines)
-        for name, dt in sorted(
-            cp.timer.phases.items(), key=lambda x: -x[1]
-        ):
+        spans = dict(cp.timer.phases)
+        spans.update(self.timer.phases)
+        for name, dt in sorted(spans.items(), key=lambda x: -x[1]):
             self.log.info("phase %s: %.2fs total", name, dt)
         self.log.info("ALL DONE. Time elapsed: %.1f s", time.time() - t0)
