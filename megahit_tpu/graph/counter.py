@@ -115,11 +115,19 @@ def as_pool(pool_or_codes):
 
 
 def pack_flat(flat_codes: np.ndarray) -> np.ndarray:
-    pad = (-len(flat_codes)) % 16
-    padded = np.concatenate(
-        [flat_codes, np.zeros(pad, dtype=np.uint8)]
-    ) if pad else flat_codes
-    return np.asarray(kmerops.pack_flat_codes(jnp.asarray(padded)))
+    n = len(flat_codes)
+    chunk = 1 << 27  # bound the 4 B/base widening transient (~0.5 GB)
+    if n <= chunk:
+        pad = (-n) % 16
+        padded = np.concatenate(
+            [flat_codes, np.zeros(pad, dtype=np.uint8)]
+        ) if pad else flat_codes
+        return np.asarray(kmerops.pack_flat_codes(jnp.asarray(padded)))
+    out = np.empty((n + 15) // 16, np.uint32)
+    for lo in range(0, n, chunk):  # chunk is a multiple of 16
+        hi = min(n, lo + chunk)
+        out[lo // 16:(hi + 15) // 16] = pack_flat(flat_codes[lo:hi])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

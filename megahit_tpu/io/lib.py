@@ -227,15 +227,31 @@ def _interleave_flat(f1, s1, f2, s2):
     np.cumsum(lens, out=starts[1:])
     flat = np.empty(starts[-1], dtype=np.uint8)
 
-    def place(src, src_starts, src_lens, tgt_starts):
-        total = int(src_lens.sum())
-        if total == 0:
-            return
-        # dest = tgt_start_i + (pos - src_start_i); the pool is gapless
-        # so pos over all kept seqs is just arange(total)
-        dest = (np.repeat(tgt_starts - src_starts[:-1], src_lens)
-                + np.arange(total, dtype=np.int64))
-        flat[dest] = src[:total]
+    if n and (l1 == l1[0]).all() and (l2 == l2[0]).all():
+        # uniform read lengths (the overwhelmingly common case):
+        # interleave is a reshape view copy, no index arrays at all
+        a, b = int(l1[0]), int(l2[0])
+        out2 = flat.reshape(n, a + b)
+        out2[:, :a] = f1[: n * a].reshape(n, a)
+        out2[:, a:] = f2[: n * b].reshape(n, b)
+        return flat, starts
+
+    def place(src, src_starts, src_lens, tgt_starts,
+              chunk: int = 1 << 21):
+        # chunked scatter: the int64 dest index array is bounded by
+        # the chunk's bases, not the whole pool (an all-at-once dest
+        # cost ~8 B/base transiently - 40+ GB at 5 Gbp)
+        pos = 0
+        for lo in range(0, len(src_lens), chunk):
+            hi = min(len(src_lens), lo + chunk)
+            total = int(src_lens[lo:hi].sum())
+            if total == 0:
+                continue
+            dest = (np.repeat(tgt_starts[lo:hi] - src_starts[lo:hi],
+                              src_lens[lo:hi])
+                    + np.arange(total, dtype=np.int64))
+            flat[dest] = src[pos:pos + total]
+            pos += total
 
     place(f1, s1[: n + 1], l1, starts[0:-1:2])
     place(f2, s2[: n + 1], l2, starts[1::2])
@@ -289,12 +305,16 @@ def build_lib(
 
     if not pools:
         return SequenceLib(np.zeros(0, np.uint8), np.zeros(1, np.int64), [])
-    flat = np.concatenate([p[0] for p in pools])
+    total_bases = sum(len(p[0]) for p in pools)
+    flat = np.empty(total_bases, dtype=np.uint8)
     starts = np.zeros(n_seqs + 1, dtype=np.int64)
     off_seq = 0
     off_base = 0
-    for f, s in pools:
+    for i in range(len(pools)):
+        f, s = pools[i]
         cnt = len(s) - 1
+        flat[off_base:off_base + len(f)] = f
+        pools[i] = None  # free each source as it lands (peak ~1x pool)
         starts[off_seq + 1 : off_seq + cnt + 1] = s[1:] + off_base
         off_seq += cnt
         off_base += len(f)
