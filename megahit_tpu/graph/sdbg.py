@@ -1058,6 +1058,169 @@ def window_edge_multiset(
     return keys, mults
 
 
+def build_sdbg_device_resident(
+    flat_codes,
+    starts: np.ndarray,
+    seq_mults: np.ndarray,
+    k: int,
+    edge_keys: np.ndarray | None = None,
+    edge_counts: np.ndarray | None = None,
+    batch_windows: int = 1 << 21,
+) -> Sdbg:
+    """Window multiset -> SdBG with the multiset DEVICE-RESIDENT end
+    to end (VERDICT r4 item 7: cut host<->device bytes on accelerator
+    backends).
+
+    The host path (window_edge_multiset + _finalize_sdbg) bounces the
+    full key multiset across the link three times (extracted keys
+    down, sort operands up, sorted rows down). Here the 2-bit pool
+    uploads once (1/(8*(k+1)*words) of the multiset bytes), windows
+    are extracted/masked/canonicalized/sorted/deduped on device, and
+    only the DEDUPED edge set ever comes back. Invalid windows ride as
+    all-ones sentinel rows that sort into one tail group (mult -1);
+    max-mode dedup keeps a coincident real all-T key's multiplicity
+    correct (max with -1), so the k % 16 == 0 case stays exact.
+
+    Edge-file inputs (iterate output) union in as one up-front upload.
+    Semantics: _finalize_sdbg's max-dedup (seq2sdbg,
+    seq_to_sdbg.cpp:640-643); byte-parity asserted by tests against
+    the host path."""
+    from .counter import as_pool, num_windows, window_valid_range
+
+    log = get_logger()
+    w = kmerops.words_per_kmer(k)
+    n_bases = int(starts[-1])
+    pool = as_pool(flat_codes)
+    n = num_windows(starts, k)
+    if n_bases < k or n == 0:
+        if edge_keys is not None and len(edge_keys):
+            return sdbg_from_edges(edge_keys, edge_counts, k)
+        return Sdbg(k, np.zeros((0, w), np.uint32),
+                    np.zeros(0, np.int32), valid=np.zeros(0, bool))
+
+    seq_mults = np.asarray(seq_mults, dtype=np.int32)
+    up_bytes = 0
+
+    ones = jnp.uint32(0xFFFFFFFF)
+    total_words = pool.n_words + w + 1
+    n_dense = (total_words - w) * 16
+    chunk = max(1 << 16, (batch_windows + 15) & ~15)
+    dev_keys = []
+    dev_mults = []
+    for lo in range(0, n_bases, chunk):
+        hi = min(n_dense, lo + chunk)
+        lo_w = lo // 16
+        size = min((hi + 15) // 16 + w + 1, total_words) - lo_w
+        host_words = pool.window_padded(lo_w, size)
+        sub = jnp.asarray(host_words)
+        up_bytes += host_words.nbytes
+        span = min(min(hi, n_bases) - lo, (size - w) * 16)
+        vm_host = np.packbits(window_valid_range(starts, k, lo, lo + span))
+        up_bytes += vm_host.nbytes
+        # chunk-relative sequence boundaries in int32 (jax x64 is off;
+        # absolute positions overflow int32 past 2 Gbp pools), padded
+        # to pow2 so compiles amortize across chunks
+        j0 = max(int(np.searchsorted(starts, lo, side="right")) - 1, 0)
+        j1 = int(np.searchsorted(starts, lo + span, side="left"))
+        nseq = max(j1 - j0, 1)
+        cap_s = 1 << int(np.ceil(np.log2(nseq)))
+        rel = np.full(cap_s, span + 1, np.int32)
+        rel[:nseq] = np.clip(starts[j0:j0 + nseq] - lo,
+                             -(2 ** 30), span + 1)
+        msub = np.zeros(cap_s, np.int32)
+        msub[:nseq] = seq_mults[j0:j0 + nseq]
+        up_bytes += rel.nbytes + msub.nbytes
+        kf, kr, mm = _dev_extract_chunk(
+            sub, jnp.asarray(vm_host), jnp.asarray(rel),
+            jnp.asarray(msub), span, k)
+        dev_keys.append(kf)
+        dev_keys.append(kr)
+        dev_mults.append(mm)
+        dev_mults.append(mm)
+        if hi >= n_dense:
+            break
+    keys = jnp.concatenate(dev_keys, axis=0)
+    mults = jnp.concatenate(dev_mults, axis=0)
+    if edge_keys is not None and len(edge_keys):
+        ek = np.asarray(edge_keys, dtype=np.uint32)
+        ekd = jnp.asarray(ek)
+        rc = kmerops.revcomp_kmers(ekd, k)
+        ecd = jnp.asarray(np.asarray(edge_counts, dtype=np.int32))
+        up_bytes += ek.nbytes + ecd.nbytes
+        keys = jnp.concatenate([keys, ekd, rc], axis=0)
+        mults = jnp.concatenate([mults, ecd, ecd], axis=0)
+
+    npad = _pow2_pad(keys.shape[0])
+    if npad > keys.shape[0]:
+        keys = jnp.concatenate([
+            keys, jnp.full((npad - keys.shape[0], w), ones, jnp.uint32)
+        ], axis=0)
+        mults = jnp.concatenate([
+            mults,
+            jnp.full(npad - mults.shape[0], -1, jnp.int32)
+        ])
+    skeys, smult = kmerops.sort_keys_with_payload(keys, mults)
+    head, gmult = _dedup_sorted_max_dev(skeys, smult)
+    n_groups = int(head.sum())  # scalar download
+    cap = _pow2_pad(max(n_groups, 16))
+    e_keys, e_mult = _dev_compact_groups(skeys, gmult, head, cap)
+    edges_host = np.asarray(e_keys)
+    mult_host = np.asarray(e_mult)
+    down_bytes = edges_host.nbytes + mult_host.nbytes
+    edges_host = edges_host[:n_groups]
+    mult_host = mult_host[:n_groups]
+    # drop the sentinel tail group (invalid windows / padding): it is
+    # the all-ones key with mult < 0 (a REAL all-T key keeps mult >= 1)
+    if n_groups and mult_host[-1] < 0:
+        edges_host = edges_host[:-1]
+        mult_host = mult_host[:-1]
+    log.info(
+        "device-resident build k=%d: %d windows -> %d edges; "
+        "transfers up %.1f MB / down %.1f MB (host path would move "
+        "~%.1f MB)", k - 1, n, len(edges_host), up_bytes / 1e6,
+        down_bytes / 1e6, 3 * (2 * n) * (4 * w + 4) / 1e6,
+    )
+    return _make_sdbg(
+        np.ascontiguousarray(edges_host),
+        mult_host.astype(np.int32), k)
+
+
+@functools.partial(jax.jit, static_argnames=("span", "k"))
+def _dev_extract_chunk(sub, vm_packed, rel_starts, rel_mults,
+                       span: int, k: int):
+    """One chunk of the device-resident build: extract windows, mask
+    invalid ones to all-ones sentinels, revcomp, and look up the
+    per-window sequence multiplicity - all on device. rel_starts are
+    the chunk-relative int32 sequence boundaries (padded ascending)."""
+    fwd = kmerops.extract_all_kmers(sub, k)[:span]
+    bitpos = jnp.arange(span, dtype=jnp.int32)
+    vm = (vm_packed[bitpos >> 3].astype(jnp.int32)
+          >> (7 - (bitpos & 7))) & 1
+    vm = vm.astype(bool)
+    ones = jnp.uint32(0xFFFFFFFF)
+    kf = jnp.where(vm[:, None], fwd, ones)
+    kr = jnp.where(vm[:, None], kmerops.revcomp_kmers(fwd, k), ones)
+    si = jnp.searchsorted(rel_starts, bitpos, side="right") - 1
+    mm = jnp.where(
+        vm,
+        rel_mults[jnp.clip(si, 0, rel_mults.shape[0] - 1)],
+        jnp.int32(-1))
+    return kf, kr, mm
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _dev_compact_groups(skeys, gmult, head, cap: int):
+    """Gather the head rows (deduped edges) into a static-capacity
+    buffer so only the edge set crosses the link."""
+    n = skeys.shape[0]
+    idx = jnp.nonzero(head, size=cap, fill_value=n - 1)[0]
+    pad = jnp.arange(cap) >= head.sum()
+    ones = jnp.uint32(0xFFFFFFFF)
+    e_keys = jnp.where(pad[:, None], ones, skeys[idx])
+    e_mult = jnp.where(pad, jnp.int32(-1), gmult[idx])
+    return e_keys, e_mult
+
+
 def sdbg_from_edges(
     edge_keys: np.ndarray, edge_mults: np.ndarray, k: int
 ) -> Sdbg:

@@ -430,6 +430,22 @@ class Pipeline:
             from ..graph.sdbg import _finalize_sdbg, window_edge_multiset
 
             flat, starts = packing.pack_many(seqs)
+            # accelerator backends: keep the multiset device-resident
+            # through finalize - only the deduped edges cross the link
+            # (VERDICT r4 item 7; MEGAHIT_TPU_DEVICE_BUILD=0/1 forces)
+            env = os.environ.get("MEGAHIT_TPU_DEVICE_BUILD")
+            use_dev_build = (env == "1") or (
+                env != "0" and __import__("jax").default_backend()
+                != "cpu")
+            if use_dev_build:
+                from ..graph.sdbg import build_sdbg_device_resident
+
+                return build_sdbg_device_resident(
+                    flat, starts,
+                    np.floor(np.asarray(mults) + 0.5).astype(np.int32),
+                    km, edge_keys=edge_keys, edge_counts=edge_counts,
+                    batch_windows=self._batch_windows(),
+                )
             keys, kmults = window_edge_multiset(
                 flat, starts,
                 np.floor(np.asarray(mults) + 0.5).astype(np.int32), km,
