@@ -133,6 +133,12 @@ def mask_tail(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     if used == BASES_PER_WORD:
         return keys
     mask = U32(0xFFFFFFFF) << U32(32 - 2 * used)
+    if isinstance(keys, np.ndarray):
+        # one memcpy + in-place AND on the last column - the
+        # concatenate path below writes every word twice
+        out = keys.copy()
+        out[..., -1] &= mask
+        return out
     return xp.concatenate(
         [keys[..., :-1], keys[..., -1:] & mask], axis=-1
     )
@@ -292,6 +298,13 @@ def set_base(keys: jnp.ndarray, i: int, c) -> jnp.ndarray:
 
 def drop_first_base(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """keys[1:k] followed by a zero base: left shift by one base."""
+    if (isinstance(keys, np.ndarray) and keys.ndim == 2
+            and len(keys) >= (1 << 14)):
+        from ..native import OP_DROP_FIRST, transform_rows
+
+        out = transform_rows(keys, k, OP_DROP_FIRST)
+        if out is not None:
+            return out
     return mask_tail(shift_left_bits(keys, 2), k)
 
 
@@ -511,7 +524,7 @@ def argsort_rows_np(kn: np.ndarray) -> np.ndarray:
     """Lexicographic argsort of (N, W) u32 rows on host (unstable
     between equal rows)."""
     w = kn.shape[-1]
-    if w <= 4 and len(kn) >= (1 << 16):
+    if len(kn) >= (1 << 16):
         from ..native import argsort_rows
 
         perm = argsort_rows(kn)

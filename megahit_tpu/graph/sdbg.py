@@ -1042,10 +1042,12 @@ def window_edge_multiset(
             vm = valid_all[lo : lo + span]
         else:
             vm = window_valid_range(starts, k, lo, lo + span)
-        fwd_c = jnp.asarray(np.asarray(fwd[:span])[vm])
-        rc_c = kmerops.revcomp_kmers(fwd_c, k)
-        chunks_k.append(np.asarray(fwd_c))
-        chunks_k.append(np.asarray(rc_c))
+        fwd_np = np.asarray(fwd[:span])[vm]
+        # host revcomp (native per-row transform) - keeps the rc pass
+        # off the XLA dispatch path on the CPU backend
+        rc_np = np.asarray(kmerops.revcomp_kmers(fwd_np, k))
+        chunks_k.append(fwd_np)
+        chunks_k.append(rc_np)
         posv = np.flatnonzero(vm) + lo
         si = np.searchsorted(starts, posv, side="right") - 1
         mm = seq_mults[si]

@@ -358,13 +358,15 @@ def _scan_threads() -> int:
 
 OP_REVCOMP = 0
 OP_REF_ORDER = 1
+OP_DROP_FIRST = 2
 
 
 def transform_rows(keys: np.ndarray, k: int, op: int
                    ) -> np.ndarray | None:
     """Per-row key transform on (N, W) left-aligned 2-bit rows:
     OP_REVCOMP = kmerops.revcomp_kmers, OP_REF_ORDER =
-    kmerops.ref_order_keys. None when native is unavailable."""
+    kmerops.ref_order_keys, OP_DROP_FIRST = kmerops.drop_first_base.
+    None when native is unavailable."""
     lib = get_seedscan()
     if lib is None:
         return None

@@ -376,7 +376,7 @@ static inline void mask_row_tail(uint32_t* row, int W, int kk) {
   }
 }
 
-enum TransformOp { OP_REVCOMP = 0, OP_REF_ORDER = 1 };
+enum TransformOp { OP_REVCOMP = 0, OP_REF_ORDER = 1, OP_DROP_FIRST = 2 };
 
 static void transform_range(const uint32_t* keys, int64_t lo, int64_t hi,
                             int k, int W, int op, uint32_t* out) {
@@ -388,6 +388,12 @@ static void transform_range(const uint32_t* keys, int64_t lo, int64_t hi,
       for (int i = 0; i < W; ++i) buf[i] = ~in[i];
       mask_row_tail(buf, W, k);
       reverse_bases(buf, W, k, o);
+    } else if (op == OP_DROP_FIRST) {
+      // keys[1:k] ++ zero base: left shift one base, tail masked to k
+      for (int i = 0; i < W - 1; ++i)
+        o[i] = (in[i] << 2) | (in[i + 1] >> 30);
+      o[W - 1] = in[W - 1] << 2;
+      mask_row_tail(o, W, k);
     } else {  // ref_order: reverse(chars[0..k-2]) ++ chars[k-1]
       for (int i = 0; i < W; ++i) buf[i] = in[i];
       mask_row_tail(buf, W, k - 1);
@@ -458,21 +464,15 @@ void transform_rows(const uint32_t* keys, int64_t n, int k, int W,
 }
 
 // Lexicographic argsort of (n, W) u32 rows (UNSTABLE between equal
-// rows, like every sort in this engine). W <= 4 rides a 24-byte
-// {a, b, idx} struct through an MSD top-byte bucket scatter + parallel
-// per-bucket std::sort; wider rows use a comparator sort over index
-// slices merged pairwise.
+// rows, like every sort in this engine). Every width rides a 24-byte
+// {a, b, idx} struct (first 4 words cached in the item) through an MSD
+// top-byte bucket scatter + parallel per-bucket std::sort; W > 4
+// resolves 128-bit-prefix ties by comparing the row tails in place -
+// ties are rare (shared 64-base prefixes), so the extra gather only
+// touches collision groups.
 void argsort_rows(const uint32_t* keys, int64_t n, int W, int64_t* perm,
                   int n_threads) {
   int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
-  if (W > 4) {
-    for (int64_t i = 0; i < n; ++i) perm[i] = i;
-    auto cmp = [&](int64_t x, int64_t y) {
-      return cmp_rows(keys + x * W, keys + y * W, W) < 0;
-    };
-    std::sort(perm, perm + n, cmp);
-    return;
-  }
   struct Item {
     uint64_t a, b;
     int64_t idx;
@@ -487,8 +487,12 @@ void argsort_rows(const uint32_t* keys, int64_t n, int W, int64_t* perm,
       items[i] = {a, b, i};
     }
   });
-  auto less = [](const Item& x, const Item& y) {
-    return x.a != y.a ? x.a < y.a : x.b < y.b;
+  auto less = [keys, W](const Item& x, const Item& y) {
+    if (x.a != y.a) return x.a < y.a;
+    if (x.b != y.b) return x.b < y.b;
+    if (W <= 4) return false;
+    return cmp_rows(keys + x.idx * W + 4, keys + y.idx * W + 4,
+                    W - 4) < 0;
   };
   if (n < (int64_t)1 << 20 || T == 1) {
     std::sort(items.begin(), items.end(), less);

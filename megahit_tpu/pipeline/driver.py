@@ -219,7 +219,10 @@ class Pipeline:
                 return_rare=True,
             )
         self.log.info("k=%d: %d solid edges", o.k_min, len(keys))
-        if not o.no_mercy:
+        # min_count <= 1: every observed (k+1)-mer is already solid, so
+        # the mercy scan provably returns nothing (reference S2 finds
+        # mercy edges only among NON-solid windows) - skip it
+        if not o.no_mercy and o.min_count > 1:
             mercy = find_mercy_edges(
                 lib.pool, lib.starts, keys, k1, rare_keys=rare,
             )
@@ -277,18 +280,23 @@ class Pipeline:
         canon = sdbg.valid & (idx <= sdbg.rc)
         keys = sdbg.keys[canon]
         counts = sdbg.mult[canon]
-        if not o.no_mercy:
-            mercy = find_mercy_edges(lib.pool, lib.starts, keys,
-                                     k1)
-            if len(mercy):
-                keys = np.concatenate([keys, mercy], axis=0)
-                counts = np.concatenate(
-                    [counts, np.ones(len(mercy), np.int32)]
-                )
+        mercy = None
+        if not o.no_mercy and o.min_count > 1:
+            # (min_count <= 1: all observed windows are solid - mercy
+            # provably empty, scan skipped)
+            mercy = find_mercy_edges(lib.pool, lib.starts, keys, k1)
+        if mercy is not None and len(mercy):
+            keys = np.concatenate([keys, mercy], axis=0)
+            counts = np.concatenate(
+                [counts, np.ones(len(mercy), np.int32)]
+            )
             # the assemble stage re-finalizes edges + mercy (small:
             # E rows, not the window multiset)
             np.savez(prefix + ".edges.npz", keys=keys, counts=counts)
         else:
+            # mercy added nothing: the built graph IS the k_min graph -
+            # persist it nav-form so assemble skips the re-finalize
+            # sort entirely (VERDICT r4 "skip re-finalize" item)
             sdbg.save(prefix + ".sdbg.npz", fmt="nav")
         vals, cnts = np.unique(counts, return_counts=True)
         with open(prefix + ".counting", "w") as fh:

@@ -123,7 +123,8 @@ def test_seed_scan_empty_table():
 
 from megahit_tpu.core import kmerops
 from megahit_tpu.native import (
-    OP_REF_ORDER, OP_REVCOMP, argsort_rows, row_search, transform_rows,
+    OP_DROP_FIRST, OP_REF_ORDER, OP_REVCOMP, argsort_rows, row_search,
+    transform_rows,
 )
 
 
@@ -156,6 +157,17 @@ def test_transform_rows_parity(k):
         np.testing.assert_array_equal(out, _numpy_transform(keys, k, op))
 
 
+@pytest.mark.parametrize("k", [3, 16, 31, 32, 33, 64, 77, 141])
+def test_transform_drop_first_parity(k):
+    rng = np.random.default_rng(1000 + k)
+    keys, w = _rand_keys(rng, 3000, k)
+    out = transform_rows(keys, k, OP_DROP_FIRST)
+    assert out is not None
+    want = np.asarray(kmerops.mask_tail(
+        kmerops.shift_left_bits(keys, 2), k))
+    np.testing.assert_array_equal(out, want)
+
+
 def test_transform_rows_wide_guard():
     # W > 16 (k > 256) must fall back (fixed row buffers in C)
     keys = np.zeros((4, 17), np.uint32)
@@ -164,7 +176,8 @@ def test_transform_rows_wide_guard():
 
 @pytest.mark.parametrize(
     "n,w", [(100, 1), (5000, 2), (3000, 4), (2000, 5), (2000, 9),
-            ((1 << 20) + 17, 2)]  # > 2^20: the parallel MSD branch
+            ((1 << 20) + 17, 2),  # > 2^20: the parallel MSD branch
+            ((1 << 20) + 31, 7)]  # MSD branch + W>4 tail tie-breaks
 )
 def test_argsort_rows_parity(n, w):
     rng = np.random.default_rng(n + w)
@@ -173,6 +186,11 @@ def test_argsort_rows_parity(n, w):
             .astype(np.uint32))
     keys[:, 0] = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(
         np.uint32)  # spread across all 256 MSD bins
+    if w > 4:
+        # force frequent 128-bit-prefix collisions so ordering MUST
+        # come from the in-place row-tail comparator
+        keys[:, 1:4] = keys[0, 1:4]
+        keys[: n // 2, 0] = keys[0, 0]
     perm = argsort_rows(keys)
     assert perm is not None
     assert np.array_equal(np.sort(perm), np.arange(n))
