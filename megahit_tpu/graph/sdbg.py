@@ -690,18 +690,19 @@ def _nav_links(keys: np.ndarray, k: int):
         hpref = prefix[head]
         suffix = (u << c(2)) & node_mask
 
-        def top32(a):
-            return (a >> c(32)).astype(np.uint32)
+        # both searches are DRAM-latency-bound random probes; split the
+        # query ranges across threads (searchsorted releases the GIL)
+        from concurrent.futures import ThreadPoolExecutor
 
-        pos = kmerops.searchsorted_blocked_np(
-            hpref, suffix, top32(hpref), top32(suffix))
-        posc = np.minimum(pos, len(hrows) - 1)
-        found = hpref[posc] == suffix
-        nxt_link = np.where(found, hrows[posc], NULL).astype(np.int32)
-        rc_u = (kmerops._reverse_bases_u64(~u) << c(2 * (32 - k))) \
-            & (~c(0) << c(64 - 2 * k))
-        rc = kmerops.searchsorted_blocked_np(
-            u, rc_u, top32(u), top32(rc_u)).astype(np.int32)
+        with ThreadPoolExecutor(max_workers=8) as tp:
+            pos, found = kmerops.member_sorted_mt(hpref, suffix, tp)
+            nxt_link = np.where(
+                found, hrows[np.minimum(pos, len(hrows) - 1)], NULL
+            ).astype(np.int32)
+            rc_u = (kmerops._reverse_bases_u64(~u) << c(2 * (32 - k))) \
+                & (~c(0) << c(64 - 2 * k))
+            rc = kmerops.member_sorted_mt(u, rc_u, tp)[0].astype(
+                np.int32)
         return run_start, nxt_link, rc
 
     # general multi-word path: big-endian void views memcmp-compare in
