@@ -26,3 +26,34 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (analogous to the reference
+    shipping precompiled binaries: the work is paid once per machine,
+    not once per run). A cold accelerator run otherwise recompiles
+    ~55 jitted kernels (~150 s measured on the assemble stage alone).
+    MEGAHIT_TPU_COMPILE_CACHE overrides the location; "0" disables."""
+    import os
+
+    d = os.environ.get(
+        "MEGAHIT_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "megahit_tpu",
+                     "xla"),
+    )
+    if not d or d == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
+_enable_compile_cache()

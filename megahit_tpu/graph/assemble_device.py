@@ -52,12 +52,20 @@ I32 = jnp.int32
 
 
 def use_device_cleaning() -> bool:
-    """Device path when the backend is an accelerator; override with
-    MEGAHIT_TPU_DEVICE_CLEAN=1/0 (tests force 1 on the CPU backend)."""
+    """Device path when the backend is an accelerator on a co-located
+    (latency-cheap) link; override with MEGAHIT_TPU_DEVICE_CLEAN=1/0
+    (tests force 1 on the CPU backend). Cleaning is latency-bound
+    (many small dispatches), so a remote/tunneled device - hundreds of
+    ms per round trip - routes to the host engine instead
+    (utils/devlink.py); throughput stages are unaffected."""
     env = os.environ.get("MEGAHIT_TPU_DEVICE_CLEAN")
     if env is not None:
         return env == "1"
-    return jax.default_backend() != "cpu"
+    if jax.default_backend() == "cpu":
+        return False
+    from ..utils.devlink import latency_bound_link
+
+    return not latency_bound_link()
 
 
 # ---------------------------------------------------------------------------

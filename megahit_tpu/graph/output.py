@@ -52,7 +52,9 @@ def unitig_codes(graph: UnitigGraph, subset: np.ndarray | None = None
         eidx = None
         import jax
 
-        if jax.default_backend() == "cpu":
+        from .sdbg import host_graph_passes
+
+        if host_graph_passes():
             from ..native import collect_chain_edges
 
             eidx = collect_chain_edges(

@@ -225,46 +225,36 @@ class Sdbg:
         rows rank after all valid rows."""
         if getattr(self, "_ref_rank", None) is None:
             n = self.size
-            if jax.default_backend() == "cpu":
-                # invalid rows must rank after all valid ones: force
-                # them to the all-ones sentinel (real keys can collide
-                # with it only at k = 16*W exactly, where relative
-                # order vs invalid rows is irrelevant to the
-                # valid-edge tie-breaks ref_rank serves)
-                if self.k <= 32:
-                    from ..native import OP_REF_ORDER, transform_rows
+            # HOST on every backend: ref_rank is consumed by host-side
+            # tie-break logic, so the old device sort paid two E-sized
+            # link crossings per k for nothing (native transform +
+            # threaded MSD argsort cover every W <= 16, i.e. k <= 255).
+            # Invalid rows must rank after all valid ones: force them
+            # to the all-ones sentinel (real keys can collide with it
+            # only at k = 16*W exactly, where relative order vs
+            # invalid rows is irrelevant to the valid-edge tie-breaks
+            # ref_rank serves).
+            if self.k <= 32:
+                from ..native import OP_REF_ORDER, transform_rows
 
-                    ro = transform_rows(self.keys, self.k,
-                                        OP_REF_ORDER)
-                    if ro is not None:
-                        # one native pass instead of ~6 numpy
-                        # bit-twiddle sweeps; u64 order == row order
-                        col = ro[:, 0].astype(np.uint64) << np.uint64(32)
-                        if ro.shape[1] > 1:
-                            col |= ro[:, 1]
-                    else:
-                        col = kmerops.ref_order_u64(self.keys, self.k)
-                    col = np.where(self.valid, col,
-                                   np.uint64(0xFFFFFFFFFFFFFFFF))
-                    perm = np.argsort(col)
+                ro = transform_rows(self.keys, self.k, OP_REF_ORDER)
+                if ro is not None:
+                    # one native pass instead of ~6 numpy
+                    # bit-twiddle sweeps; u64 order == row order
+                    col = ro[:, 0].astype(np.uint64) << np.uint64(32)
+                    if ro.shape[1] > 1:
+                        col |= ro[:, 1]
                 else:
-                    ro = np.ascontiguousarray(np.asarray(
-                        kmerops.ref_order_keys(self.keys, self.k)))
-                    if not self.valid.all():
-                        ro[~self.valid] = np.uint32(0xFFFFFFFF)
-                    perm = kmerops.argsort_rows_np(ro)
+                    col = kmerops.ref_order_u64(self.keys, self.k)
+                col = np.where(self.valid, col,
+                               np.uint64(0xFFFFFFFFFFFFFFFF))
+                perm = np.argsort(col)
             else:
-                rot = kmerops.ref_order_keys(
-                    jnp.asarray(self.keys), self.k
-                )
-                inval = jnp.asarray(~self.valid).astype(jnp.uint32)
-                ops = (inval,) + tuple(
-                    rot[:, i] for i in range(rot.shape[1])
-                ) + (jnp.arange(n, dtype=jnp.int32),)
-                out = jax.lax.sort(
-                    ops, num_keys=len(ops) - 1, is_stable=False
-                )
-                perm = np.asarray(out[-1])
+                ro = np.ascontiguousarray(np.asarray(
+                    kmerops.ref_order_keys(self.keys, self.k)))
+                if not self.valid.all():
+                    ro[~self.valid] = np.uint32(0xFFFFFFFF)
+                perm = kmerops.argsort_rows_np(ro)
             rank = np.empty(n, dtype=np.int32)
             rank[perm] = np.arange(n, dtype=np.int32)
             self._ref_rank = rank
@@ -1248,33 +1238,21 @@ def _finalize_sdbg(keys: np.ndarray, mults: np.ndarray, k: int,
     """Sort + dedup-max + neighbour tables over a raw (strand-closed)
     edge multiset."""
     log = get_logger()
-    w = kmerops.words_per_kmer(k)
     total = len(keys)
-    # pow2 padding exists to stabilize device sort shapes (one compile
-    # per bucket); the CPU backend sorts on host, where padding is
-    # pure extra work
-    npad = total if jax.default_backend() == "cpu" else _pow2_pad(total)
-    if npad > total:
-        keys = np.concatenate(
-            [keys, np.full((npad - total, w), 0xFFFFFFFF, np.uint32)], axis=0
-        )
-        mults = np.concatenate(
-            [mults, np.full(npad - total, -1, np.int32)], axis=0
-        )
-
-    skeys, smult = kmerops.sort_keys_with_payload(
-        _dev(keys), _dev(mults)
-    )
+    # HOST sort/dedup on every backend: the multiset arrives as host
+    # arrays and the Sdbg's arrays live on host, so a device round
+    # trip pays two E-sized crossings (plus a compile per shape) to
+    # run a sort whose result is consumed on host - the native
+    # threaded MSD row sort wins at every width. Device-RESIDENT
+    # multisets go through build_sdbg_device_resident instead, which
+    # never lands the multiset on host at all.
+    kn = np.asarray(keys)
+    order = kmerops.argsort_rows_np(kn)
+    skeys = kn[order]
+    smult = np.asarray(mults)[order]
     head, gmult = _dedup_sorted_max(skeys, smult)
-    skeys, head, gmult = np.asarray(skeys), np.asarray(head), np.asarray(gmult)
-    keep = head.copy()
-    if npad > total:
-        keep[total:] = False  # padding rows can only start sentinel groups
-        # a sentinel group headed before `total` would mean a real all-one
-        # key, impossible unless k % 16 == 0 AND all-T; in that case its
-        # max-mult is still correct because padding mults are -1.
-    edges = skeys[keep]
-    mult = np.minimum(gmult[keep], KMAX_MUL).astype(np.int32)
+    edges = skeys[head]
+    mult = np.minimum(gmult[head], KMAX_MUL).astype(np.int32)
 
     sdbg = _make_sdbg(edges, mult, k)
     log.debug("sdbg k=%d: %d windows -> %d edges (cap %d)",
@@ -1643,12 +1621,24 @@ def _remove_tips_sdbg_host(sdbg: Sdbg, max_tip_len: int) -> int:
     return total
 
 
+def host_graph_passes() -> bool:
+    """True when the latency-bound graph passes (tips, unitig links,
+    cleaning) should run on host: CPU backend, or an accelerator
+    behind a latency-expensive link (utils/devlink.py) where per-
+    dispatch round trips dwarf the pass compute."""
+    if jax.default_backend() == "cpu":
+        return True
+    from ..utils.devlink import latency_bound_link
+
+    return latency_bound_link()
+
+
 def remove_tips_sdbg(sdbg: Sdbg, max_tip_len: int) -> int:
     """Doubling-length tip removal schedule (sdbg_pruning.cpp:147-178).
 
-    CPU backend: sparse host walks; device backends: jitted whole-
+    Host: sparse seed walks; co-located accelerators: jitted whole-
     graph pointer doubling."""
-    if jax.default_backend() == "cpu":
+    if host_graph_passes():
         return _remove_tips_sdbg_host(sdbg, max_tip_len)
     log = get_logger()
     total = 0

@@ -186,7 +186,10 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
                            chain_start=z.copy(), edge_pos=z.copy(),
                            nxt=z.copy(), prv=z.copy())
 
-    if jax.default_backend() == "cpu":
+    from .sdbg import host_graph_passes
+
+    on_host = host_graph_passes()
+    if on_host:
         from .sdbg import simple_path_links_host
 
         nxt, prv = simple_path_links_host(sdbg)
@@ -200,7 +203,7 @@ def build_unitig_graph(sdbg: Sdbg) -> UnitigGraph:
     validn = sdbg.valid
 
     ranked = None
-    if jax.default_backend() == "cpu":
+    if on_host:
         # host fast path: one O(E) native pointer walk instead of
         # log2(E) rounds of whole-graph gathers (native/graphwalk.cpp)
         from ..native import chain_rank as _native_chain_rank
@@ -344,7 +347,9 @@ def _kill_edge_indices(graph, delete, disc_fwd, disc_rc):
         parts.append(graph.rc_start[disc_rc])
     if delete.any():
         fwd = None
-        if jax.default_backend() == "cpu":
+        from .sdbg import host_graph_passes
+
+        if host_graph_passes():
             # sparse: walk only the deleted chains (forward strands;
             # invalidate_idx adds the rc partners) instead of scanning
             # every edge's vid
@@ -728,7 +733,9 @@ def _refresh_contracted(graph, delete, disc_fwd, disc_rc,
     # changed edges: walk only the changed chains natively (own-strand
     # exact); fall back to the full-edge scan + strand resolution
     ce = se_ce = None
-    if jax.default_backend() == "cpu" and m:
+    from .sdbg import host_graph_passes
+
+    if host_graph_passes() and m:
         from ..native import collect_chain_edges
 
         sef = np.flatnonzero(changed_se[:n_l])
